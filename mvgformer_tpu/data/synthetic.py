@@ -1,0 +1,126 @@
+"""Synthetic multi-view scenes: cameras, people, rendered feature images.
+
+Used by tests and the benchmark harness. Geometry (camera ring, people in a
+Panoptic-like space, mm units) mimics the CMU Panoptic setup the reference
+evaluates on (/root/reference/lib/dataset/panoptic.py) without requiring the
+dataset on disk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mvgformer_tpu.geometry.cameras import CameraParams
+
+# Panoptic 15-joint skeleton (reference lib/dataset/panoptic.py:174-205)
+JOINT_NAMES = [
+    "neck", "nose", "mid-hip", "l-shoulder", "l-elbow", "l-wrist",
+    "l-hip", "l-knee", "l-ankle", "r-shoulder", "r-elbow", "r-wrist",
+    "r-hip", "r-knee", "r-ankle",
+]
+LIMBS15 = [[0, 1], [0, 2], [0, 3], [3, 4], [4, 5], [0, 9], [9, 10],
+           [10, 11], [2, 6], [2, 12], [6, 7], [7, 8], [12, 13], [13, 14]]
+
+# A canonical standing pose in mm, root (mid-hip, index 2) at the origin.
+# Derived from average Panoptic limb proportions; serves the same role as the
+# reference's tpose.pt asset (15x3 root-relative offsets).
+T_POSE = np.array(
+    [
+        [0.0, 0.0, 560.0],      # neck
+        [0.0, 80.0, 680.0],     # nose
+        [0.0, 0.0, 0.0],        # mid-hip (root)
+        [170.0, 0.0, 540.0],    # l-shoulder
+        [260.0, 0.0, 300.0],    # l-elbow
+        [330.0, 0.0, 80.0],     # l-wrist
+        [100.0, 0.0, -20.0],    # l-hip
+        [110.0, 0.0, -460.0],   # l-knee
+        [120.0, 0.0, -870.0],   # l-ankle
+        [-170.0, 0.0, 540.0],   # r-shoulder
+        [-260.0, 0.0, 300.0],   # r-elbow
+        [-330.0, 0.0, 80.0],    # r-wrist
+        [-100.0, 0.0, -20.0],   # r-hip
+        [-110.0, 0.0, -460.0],  # r-knee
+        [-120.0, 0.0, -870.0],  # r-ankle
+    ],
+    dtype=np.float32,
+)
+
+
+def look_at_rotation(cam_pos: np.ndarray, target: np.ndarray,
+                     up=(0.0, 0.0, 1.0)) -> np.ndarray:
+    """World->camera rotation with +z looking from cam_pos toward target."""
+    fwd = target - cam_pos
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.asarray(up, dtype=np.float64)
+    right = np.cross(fwd, up)
+    right = right / np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    # rows: camera x (right), y (down), z (forward)
+    return np.stack([right, down, fwd], axis=0).astype(np.float32)
+
+
+def make_camera_ring(num_views: int,
+                     radius_mm: float = 4500.0,
+                     height_mm: float = 1200.0,
+                     center=(0.0, -500.0, 800.0),
+                     image_size=(1920, 1080),
+                     focal: float = 1630.0,
+                     distortion: bool = True,
+                     seed: int = 0) -> CameraParams:
+    """A ring of V cameras looking at the space center; returns (V, ...)."""
+    rng = np.random.RandomState(seed)
+    center = np.asarray(center, dtype=np.float64)
+    Rs, Ts = [], []
+    for i in range(num_views):
+        ang = 2.0 * np.pi * i / num_views + rng.uniform(-0.1, 0.1)
+        pos = center + np.array([
+            radius_mm * np.cos(ang),
+            radius_mm * np.sin(ang),
+            height_mm + rng.uniform(-200, 200),
+        ])
+        Rs.append(look_at_rotation(pos, center))
+        Ts.append(pos.astype(np.float32).reshape(3, 1))
+    f = np.tile(
+        np.array([focal, focal], dtype=np.float32), (num_views, 1)
+    ) * rng.uniform(0.95, 1.05, size=(num_views, 1)).astype(np.float32)
+    c = np.tile(
+        np.array([image_size[0] / 2.0, image_size[1] / 2.0],
+                 dtype=np.float32), (num_views, 1)
+    ) + rng.uniform(-20, 20, size=(num_views, 2)).astype(np.float32)
+    if distortion:
+        k = np.stack([
+            rng.uniform(-0.3, -0.1, num_views),
+            rng.uniform(0.05, 0.2, num_views),
+            rng.uniform(-0.01, 0.01, num_views),
+        ], axis=-1).astype(np.float32)
+        p = rng.uniform(-2e-3, 2e-3, size=(num_views, 2)).astype(np.float32)
+    else:
+        k = np.zeros((num_views, 3), dtype=np.float32)
+        p = np.zeros((num_views, 2), dtype=np.float32)
+    return CameraParams(
+        R=np.stack(Rs), T=np.stack(Ts), f=f, c=c, k=k, p=p
+    )
+
+
+def make_people(num_people: int, seed: int = 0,
+                space_center=(0.0, -500.0, 800.0),
+                spread_mm: float = 2000.0) -> np.ndarray:
+    """Random posed people (num_people, 15, 3) world mm."""
+    rng = np.random.RandomState(seed)
+    center = np.asarray(space_center, dtype=np.float32)
+    poses = []
+    for _ in range(num_people):
+        root = center + np.array([
+            rng.uniform(-spread_mm, spread_mm),
+            rng.uniform(-spread_mm, spread_mm),
+            rng.uniform(-50.0, 50.0) + 100.0,
+        ], dtype=np.float32)
+        jitter = rng.normal(0, 40.0, size=T_POSE.shape).astype(np.float32)
+        ang = rng.uniform(0, 2 * np.pi)
+        rot = np.array([
+            [np.cos(ang), -np.sin(ang), 0.0],
+            [np.sin(ang), np.cos(ang), 0.0],
+            [0.0, 0.0, 1.0],
+        ], dtype=np.float32)
+        poses.append((T_POSE + jitter) @ rot.T + root)
+    return np.stack(poses) if poses else np.zeros((0, 15, 3), np.float32)
