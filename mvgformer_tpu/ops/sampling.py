@@ -1,0 +1,112 @@
+"""Multi-scale deformable sampling in pure jnp (XLA gather formulation).
+
+Semantics contract (shared with the Pallas kernel): identical to the
+reference CUDA op `deform_forward` (/root/reference/lib/models/ops/src/cuda/
+deform_im2col_cuda.cuh:248-311) and its pure-torch mirror deform_core_pytorch
+(/root/reference/lib/models/ops/functions/deform_func.py:68-99):
+
+    * sampling locations are in [0, 1] normalized per-level coordinates;
+      pixel coords use F.grid_sample align_corners=False convention:
+      pix = loc * size - 0.5;
+    * bilinear interpolation with zero padding outside the feature map;
+    * output[n, q, h, :] = sum over (level, point) of
+      w[n, q, h, l, p] * bilinear(value_l[n, :, h, :], loc[n, q, h, l, p]).
+
+Everything is static-shape; levels are a Python-level loop (3 levels),
+unrolled into one fused XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def flatten_feature_levels(feats: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, Tuple[Tuple[int, int], ...]]:
+    """Concat per-level (N, C, H, W) maps into (N, sum HW, C) + static shapes.
+
+    Mirrors the reference's input_flatten construction
+    (lib/models/ops/modules/projattn.py:160).
+    """
+    shapes = tuple((int(f.shape[2]), int(f.shape[3])) for f in feats)
+    flat = jnp.concatenate(
+        [f.reshape(f.shape[0], f.shape[1], -1) for f in feats], axis=-1)
+    return jnp.swapaxes(flat, 1, 2), shapes
+
+
+def bilinear_sample(value: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                    h: int, w: int) -> jnp.ndarray:
+    """Bilinear sample with zero padding.
+
+    value: (..., h*w, D) row-major (y-major) flattened feature map.
+    x, y:  (..., S) pixel coordinates (already -0.5 centered).
+    Returns (..., S, D).
+    """
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def corner(xi, yi, wgt):
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        gathered = jnp.take_along_axis(
+            value, idx[..., None], axis=-2)  # (..., S, D)
+        return gathered * (wgt * inb)[..., None]
+
+    out = corner(x0i, y0i, (1 - lx) * (1 - ly))
+    out += corner(x0i + 1, y0i, lx * (1 - ly))
+    out += corner(x0i, y0i + 1, (1 - lx) * ly)
+    out += corner(x0i + 1, y0i + 1, lx * ly)
+    return out
+
+
+def deform_sample(value: jnp.ndarray,
+                  spatial_shapes: Sequence[Tuple[int, int]],
+                  sampling_locations: jnp.ndarray,
+                  attention_weights: jnp.ndarray) -> jnp.ndarray:
+    """Fused multi-level deformable sampling.
+
+    Args:
+        value:              (N, Len_in, H, D) per-head values; Len_in is the
+                            concatenation of all levels' h*w (y-major).
+        spatial_shapes:     static ((h0, w0), (h1, w1), ...).
+        sampling_locations: (N, Lq, H, L, P, 2) in [0, 1] (x, y) order.
+        attention_weights:  (N, Lq, H, L, P).
+
+    Returns:
+        (N, Lq, H*D) attended features.
+    """
+    N, Len_in, H, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes), (L, spatial_shapes)
+
+    # (N, H, Len_in, D) so the gather batch dims lead
+    value_hd = jnp.swapaxes(value, 1, 2)
+
+    out = jnp.zeros((N, H, Lq, D), dtype=value.dtype)
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v_l = jax.lax.dynamic_slice_in_dim(value_hd, start, h * w, axis=2)
+        start += h * w
+        # pixel coords, grid_sample align_corners=False convention
+        loc = sampling_locations[:, :, :, lvl]  # (N, Lq, H, P, 2)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        # -> (N, H, Lq*P)
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(N, H, Lq * P)
+        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(N, H, Lq * P)
+        sampled = bilinear_sample(v_l, x, y, h, w)  # (N, H, Lq*P, D)
+        wgt = jnp.transpose(
+            attention_weights[:, :, :, lvl], (0, 2, 1, 3)
+        ).reshape(N, H, Lq * P)
+        out = out + jnp.sum(
+            (sampled * wgt[..., None]).reshape(N, H, Lq, P, D), axis=3)
+
+    # (N, H, Lq, D) -> (N, Lq, H*D); matches the reference's
+    # view(N, M*D, Lq).transpose(1, 2) output layout (deform_func.py:98-99)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(N, Lq, H * D)

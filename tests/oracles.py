@@ -78,6 +78,63 @@ def ref_multiview():
     return multiview
 
 
+def ref_projattn():
+    """Import the reference ProjAttn with the CUDA ext stubbed by the
+    repo's own pure-torch reference path (deform_core_pytorch)."""
+    _init_paths()
+    if "torchvision" not in sys.modules:
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            # models.util.misc only needs __version__ at import time
+            tv = types.ModuleType("torchvision")
+            tv.__version__ = "0.15.0"
+            tv.ops = types.ModuleType("torchvision.ops")
+            tv.ops.misc = types.ModuleType("torchvision.ops.misc")
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.ops"] = tv.ops
+            sys.modules["torchvision.ops.misc"] = tv.ops.misc
+    if "mmcv" not in sys.modules:
+        try:
+            import mmcv  # noqa: F401
+        except ImportError:
+            mm = types.ModuleType("mmcv")
+            mm.runner = types.ModuleType("mmcv.runner")
+            mm.runner.get_dist_info = lambda: (0, 1)
+            sys.modules["mmcv"] = mm
+            sys.modules["mmcv.runner"] = mm.runner
+    if "Deformable" not in sys.modules:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "_ref_deform_func_src",
+            REFERENCE_LIB + "/models/ops/functions/deform_func.py")
+        # deform_func.py itself imports Deformable; register a placeholder
+        # first, then wire deform_forward to the file's deform_core_pytorch.
+        stub = types.ModuleType("Deformable")
+        sys.modules["Deformable"] = stub
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        sys.modules["_ref_deform_func_src"] = mod
+
+        def deform_forward(value, spatial_shapes, level_start_index,
+                           sampling_loc, attn_weight, im2col_step):
+            return mod.deform_core_pytorch(
+                value, spatial_shapes, sampling_loc, attn_weight)
+
+        stub.deform_forward = deform_forward
+    from models.ops.modules import ProjAttn  # type: ignore
+
+    return ProjAttn
+
+
+def ref_deform_core():
+    ref_projattn()  # ensures the module is loaded with the stub
+    import _ref_deform_func_src  # type: ignore
+
+    return _ref_deform_func_src.deform_core_pytorch
+
+
 def make_torch_cam_dict(R, T, f, c, k, p):
     """Build the reference's batched camera dict (B, V, ...) from arrays."""
     import torch

@@ -1,0 +1,162 @@
+"""Parity tests for deformable sampling + ProjAttn vs the reference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvgformer_tpu.ops import deform_sample, flatten_feature_levels, ProjAttn
+
+from oracles import reference_available, ref_deform_core, ref_projattn
+
+needs_ref = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not available")
+
+SHAPES = ((16, 30), (8, 15), (4, 8))
+
+
+def _random_inputs(rng, N=2, Lq=12, H=4, D=8, L=3, P=4, shapes=SHAPES):
+    len_in = sum(h * w for h, w in shapes)
+    value = rng.randn(N, len_in, H, D).astype(np.float32)
+    # locations mostly inside [0,1], some outside to test zero padding
+    locs = rng.uniform(-0.2, 1.2, size=(N, Lq, H, L, P, 2)).astype(np.float32)
+    w = rng.rand(N, Lq, H, L, P).astype(np.float32)
+    w = w / w.sum(axis=(-1, -2), keepdims=True)
+    return value, locs, w
+
+
+class TestDeformSample:
+    @needs_ref
+    def test_matches_reference_core(self, rng):
+        import torch
+        core = ref_deform_core()
+        value, locs, w = _random_inputs(rng)
+        ours = np.asarray(deform_sample(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w)))
+        theirs = core(
+            torch.as_tensor(value),
+            torch.as_tensor(np.asarray(SHAPES, dtype=np.int64)),
+            torch.as_tensor(locs), torch.as_tensor(w)).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+    @needs_ref
+    def test_gradients_match_reference(self, rng):
+        import torch
+        core = ref_deform_core()
+        value, locs, w = _random_inputs(rng, N=1, Lq=6, H=2, D=4, P=3)
+
+        def loss_jax(v, l, a):
+            out = deform_sample(v, SHAPES, l, a)
+            return jnp.sum(out * out)
+
+        gv, gl, ga = jax.grad(loss_jax, argnums=(0, 1, 2))(
+            jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+
+        tv = torch.as_tensor(value).requires_grad_(True)
+        tl = torch.as_tensor(locs).requires_grad_(True)
+        ta = torch.as_tensor(w).requires_grad_(True)
+        out = core(tv, torch.as_tensor(np.asarray(SHAPES, dtype=np.int64)),
+                   tl, ta)
+        (out * out).sum().backward()
+        np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(),
+                                   rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_zero_padding_outside(self, rng):
+        value, locs, w = _random_inputs(rng, N=1, Lq=4, H=2, D=4, P=2)
+        locs_far = np.full_like(locs, 5.0)  # all samples far outside
+        out = np.asarray(deform_sample(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs_far), jnp.asarray(w)))
+        np.testing.assert_allclose(out, 0.0, atol=1e-7)
+
+
+def _copy_torch_linear(params, tmod, name):
+    params[name]["kernel"] = jnp.asarray(
+        tmod.weight.detach().numpy().T)
+    params[name]["bias"] = jnp.asarray(tmod.bias.detach().numpy())
+
+
+class TestProjAttnParity:
+    @needs_ref
+    @pytest.mark.parametrize("lq", [10, 33])
+    def test_forward_matches_reference(self, rng, lq):
+        import torch
+        RefProjAttn = ref_projattn()
+        d_model, n_heads, n_points, n_levels = 64, 4, 6, 1
+        N = 3
+        shapes = SHAPES
+        torch.manual_seed(0)
+        ref = RefProjAttn(d_model, n_levels, n_heads, n_points,
+                          "ablation_not_use_rayconv").eval()
+
+        src_views = [rng.randn(N, d_model, h, w).astype(np.float32)
+                     for h, w in shapes]
+        query = rng.randn(N, lq, d_model).astype(np.float32)
+        refpts = rng.uniform(0.05, 0.95, size=(N, lq, 1, 2)).astype(np.float32)
+        # the decoder's per-level S/(S-1) expansion (dq_decoder.py:570-573)
+        shp = np.asarray(shapes, dtype=np.float32)
+        wh = shp[:, ::-1]  # (L, 2) = (w, h)
+        refpts_expand = refpts * wh / (wh - 1.0)
+
+        mod = ProjAttn(d_model=d_model, n_levels=n_levels, n_heads=n_heads,
+                       n_points=n_points)
+        params = mod.init(jax.random.PRNGKey(0), jnp.asarray(query),
+                          jnp.asarray(refpts_expand),
+                          [jnp.asarray(s) for s in src_views], shapes)
+        params = jax.tree_util.tree_map(lambda x: x, params)  # mutable copy
+        p = params["params"]
+        _copy_torch_linear(p, ref.sampling_offsets, "sampling_offsets")
+        _copy_torch_linear(p, ref.attention_weights, "attention_weights")
+        _copy_torch_linear(p, ref.rayconv, "rayconv")
+        _copy_torch_linear(p, ref.output_proj, "output_proj")
+
+        ours = np.asarray(mod.apply(
+            params, jnp.asarray(query), jnp.asarray(refpts_expand),
+            [jnp.asarray(s) for s in src_views], shapes))
+
+        with torch.no_grad():
+            theirs = ref(
+                torch.as_tensor(query),
+                torch.as_tensor(refpts_expand),
+                [torch.as_tensor(s) for s in src_views],
+                None,
+                torch.as_tensor(np.asarray(shapes, dtype=np.int64)),
+                torch.as_tensor(np.asarray(
+                    [0, shapes[0][0] * shapes[0][1],
+                     shapes[0][0] * shapes[0][1] + shapes[1][0] * shapes[1][1]],
+                    dtype=np.int64)),
+                None,
+            ).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+    def test_default_init_offsets_bias_radial(self):
+        """Fresh init reproduces the radial-grid bias (projattn.py:96-107)."""
+        from mvgformer_tpu.ops.projattn import radial_offsets_bias_init
+        bias = np.asarray(radial_offsets_bias_init(4, 2, 3)(
+            None, (4 * 2 * 3 * 2,))).reshape(4, 2, 3, 2)
+        # head 0 points along +x scaled by point index, both levels
+        for lvl in range(2):
+            np.testing.assert_allclose(bias[0, lvl, :, 0], [1, 2, 3],
+                                       atol=1e-5)
+            np.testing.assert_allclose(bias[0, lvl, :, 1], [0, 0, 0],
+                                       atol=1e-5)
+        # head 1 (45 deg) normalized to max-abs 1 per axis, scaled by point
+        np.testing.assert_allclose(bias[1, 0, :, 0], [1, 2, 3], atol=1e-5)
+        np.testing.assert_allclose(bias[1, 0, :, 1], [1, 2, 3], atol=1e-5)
+
+        # module-level: kernel zero, bias matches, for the live n_levels=1
+        mod = ProjAttn(d_model=32, n_levels=1, n_heads=4, n_points=3)
+        shapes = ((4, 6),)
+        params = mod.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 5, 32)),
+            jnp.zeros((1, 5, 1, 2)),
+            [jnp.zeros((1, 32, 4, 6))], shapes)
+        assert np.all(np.asarray(
+            params["params"]["sampling_offsets"]["kernel"]) == 0)
+        got = np.asarray(params["params"]["sampling_offsets"]["bias"])
+        want = np.asarray(radial_offsets_bias_init(4, 1, 3)(None, (24,)))
+        np.testing.assert_allclose(got, want, atol=1e-6)
