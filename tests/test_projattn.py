@@ -144,8 +144,8 @@ class TestProjAttnParity:
                                        atol=1e-5)
             np.testing.assert_allclose(bias[0, lvl, :, 1], [0, 0, 0],
                                        atol=1e-5)
-        # head 1 (45 deg) normalized to max-abs 1 per axis, scaled by point
-        np.testing.assert_allclose(bias[1, 0, :, 0], [1, 2, 3], atol=1e-5)
+        # head 1 of 4 is at 90 deg: +y scaled by point index
+        np.testing.assert_allclose(bias[1, 0, :, 0], [0, 0, 0], atol=1e-5)
         np.testing.assert_allclose(bias[1, 0, :, 1], [1, 2, 3], atol=1e-5)
 
         # module-level: kernel zero, bias matches, for the live n_levels=1
