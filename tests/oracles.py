@@ -54,7 +54,56 @@ def _init_paths():
 
             mod.EasyDict = EasyDict
             sys.modules["easydict"] = mod
+    if "torchvision" not in sys.modules:
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            # models.util.misc only needs __version__ at import time
+            tv = types.ModuleType("torchvision")
+            tv.__version__ = "0.15.0"
+            tv.ops = types.ModuleType("torchvision.ops")
+            tv.ops.misc = types.ModuleType("torchvision.ops.misc")
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.ops"] = tv.ops
+            sys.modules["torchvision.ops.misc"] = tv.ops.misc
+    if "mmcv" not in sys.modules:
+        try:
+            import mmcv  # noqa: F401
+        except ImportError:
+            mm = types.ModuleType("mmcv")
+            mm.runner = types.ModuleType("mmcv.runner")
+            mm.runner.get_dist_info = lambda: (0, 1)
+            sys.modules["mmcv"] = mm
+            sys.modules["mmcv.runner"] = mm.runner
+    _install_deformable_stub()
     _initialized = True
+
+
+def _install_deformable_stub():
+    """Register a `Deformable` module backed by the reference's own
+    pure-torch path (deform_core_pytorch), so reference modules that import
+    the CUDA extension work on CPU."""
+    if "Deformable" in sys.modules:
+        return
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_deform_func_src",
+        REFERENCE_LIB + "/models/ops/functions/deform_func.py")
+    # deform_func.py itself imports Deformable; register a placeholder
+    # first, then wire deform_forward to the file's deform_core_pytorch.
+    stub = types.ModuleType("Deformable")
+    sys.modules["Deformable"] = stub
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sys.modules["_ref_deform_func_src"] = mod
+
+    def deform_forward(value, spatial_shapes, level_start_index,
+                       sampling_loc, attn_weight, im2col_step):
+        return mod.deform_core_pytorch(
+            value, spatial_shapes, sampling_loc, attn_weight)
+
+    stub.deform_forward = deform_forward
 
 
 def ref_cameras():
@@ -79,57 +128,15 @@ def ref_multiview():
 
 
 def ref_projattn():
-    """Import the reference ProjAttn with the CUDA ext stubbed by the
-    repo's own pure-torch reference path (deform_core_pytorch)."""
+    """Import the reference ProjAttn (CUDA ext stubbed, see _init_paths)."""
     _init_paths()
-    if "torchvision" not in sys.modules:
-        try:
-            import torchvision  # noqa: F401
-        except ImportError:
-            # models.util.misc only needs __version__ at import time
-            tv = types.ModuleType("torchvision")
-            tv.__version__ = "0.15.0"
-            tv.ops = types.ModuleType("torchvision.ops")
-            tv.ops.misc = types.ModuleType("torchvision.ops.misc")
-            sys.modules["torchvision"] = tv
-            sys.modules["torchvision.ops"] = tv.ops
-            sys.modules["torchvision.ops.misc"] = tv.ops.misc
-    if "mmcv" not in sys.modules:
-        try:
-            import mmcv  # noqa: F401
-        except ImportError:
-            mm = types.ModuleType("mmcv")
-            mm.runner = types.ModuleType("mmcv.runner")
-            mm.runner.get_dist_info = lambda: (0, 1)
-            sys.modules["mmcv"] = mm
-            sys.modules["mmcv.runner"] = mm.runner
-    if "Deformable" not in sys.modules:
-        import importlib.util
-
-        spec = importlib.util.spec_from_file_location(
-            "_ref_deform_func_src",
-            REFERENCE_LIB + "/models/ops/functions/deform_func.py")
-        # deform_func.py itself imports Deformable; register a placeholder
-        # first, then wire deform_forward to the file's deform_core_pytorch.
-        stub = types.ModuleType("Deformable")
-        sys.modules["Deformable"] = stub
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        sys.modules["_ref_deform_func_src"] = mod
-
-        def deform_forward(value, spatial_shapes, level_start_index,
-                           sampling_loc, attn_weight, im2col_step):
-            return mod.deform_core_pytorch(
-                value, spatial_shapes, sampling_loc, attn_weight)
-
-        stub.deform_forward = deform_forward
     from models.ops.modules import ProjAttn  # type: ignore
 
     return ProjAttn
 
 
 def ref_deform_core():
-    ref_projattn()  # ensures the module is loaded with the stub
+    _init_paths()
     import _ref_deform_func_src  # type: ignore
 
     return _ref_deform_func_src.deform_core_pytorch
