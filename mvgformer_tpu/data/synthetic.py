@@ -102,6 +102,87 @@ def make_camera_ring(num_views: int,
     )
 
 
+def tile_cameras(cams: CameraParams, batch_size: int) -> CameraParams:
+    """(V, ...) cameras -> (B, V, ...)."""
+    def tile(x):
+        x = np.asarray(x)
+        return np.broadcast_to(x, (batch_size,) + x.shape).copy()
+
+    return CameraParams(R=tile(cams.R), T=tile(cams.T), f=tile(cams.f),
+                        c=tile(cams.c), k=tile(cams.k), p=tile(cams.p))
+
+
+def make_batch(cfg, batch_size: int = 1, seed: int = 0,
+               num_people: int = 3, image_size=(1920, 1080),
+               render: bool = False):
+    """A synthetic Batch at the configured shapes (random images by default;
+    render=True draws gaussian blobs at projected joints so a model can
+    actually fit the data in learning tests)."""
+    import jax.numpy as jnp
+
+    from mvgformer_tpu.data.meta import (
+        Batch, Targets, build_view_data, pad_targets)
+    from mvgformer_tpu.geometry.cameras import project_points
+
+    rng = np.random.RandomState(seed)
+    V = cfg.DATASET.CAMERA_NUM
+    W, H = cfg.NETWORK.IMAGE_SIZE
+    J = cfg.DECODER.num_keypoints
+    M = cfg.MULTI_PERSON.MAX_PEOPLE_NUM
+    center = tuple(cfg.MULTI_PERSON.SPACE_CENTER)
+
+    cams = tile_cameras(
+        make_camera_ring(V, image_size=image_size, seed=seed,
+                         center=center), batch_size)
+    image_wh = np.tile(np.asarray(image_size, np.float32),
+                       (batch_size, V, 1))
+
+    people = [make_people(num_people, seed=seed + 7 * b,
+                          space_center=center)
+              for b in range(batch_size)]
+    targets = pad_targets(people, M, J)
+
+    # per-view 2D visibility: projected joint inside the full image
+    gt = np.asarray(targets.joints_3d)  # (B, M, J, 3)
+    gt_flat = np.broadcast_to(
+        gt.reshape(batch_size, 1, M * J, 3), (batch_size, V, M * J, 3))
+    pix = np.asarray(project_points(jnp.asarray(gt_flat), cams)).reshape(
+        batch_size, V, M, J, 2)
+    inb = ((pix[..., 0] >= 0) & (pix[..., 0] < image_wh[:, :, None, None, 0])
+           & (pix[..., 1] >= 0)
+           & (pix[..., 1] < image_wh[:, :, None, None, 1]))
+    vis2d = (inb & (np.asarray(targets.joints_3d_vis)[:, None] > 0)
+             ).astype(np.float32)
+
+    view_data = build_view_data(cams, image_wh, (W, H),
+                                joints_vis_2d=vis2d, max_people=M,
+                                num_joints=J)
+
+    if render:
+        from mvgformer_tpu.geometry.transforms import apply_affine
+
+        net_pix = np.asarray(apply_affine(
+            jnp.asarray(pix.reshape(batch_size, V, M * J, 2)),
+            view_data.affine)).reshape(batch_size, V, M, J, 2)
+        views = np.zeros((batch_size, V, H, W, 3), dtype=np.float32)
+        yy, xx = np.mgrid[0:H, 0:W]
+        for b in range(batch_size):
+            for v in range(V):
+                img = np.zeros((H, W), dtype=np.float32)
+                for m in range(min(num_people, M)):
+                    for j in range(J):
+                        if vis2d[b, v, m, j] > 0:
+                            px, py = net_pix[b, v, m, j]
+                            d2 = (xx - px) ** 2 + (yy - py) ** 2
+                            img += np.exp(-d2 / (2 * 3.0 ** 2))
+                views[b, v] = img[..., None] * np.array([2.0, 1.0, -1.0])
+    else:
+        views = rng.randn(batch_size, V, H, W, 3).astype(np.float32) * 0.1
+
+    return Batch(views=jnp.asarray(views), view_data=view_data,
+                 targets=targets)
+
+
 def make_people(num_people: int, seed: int = 0,
                 space_center=(0.0, -500.0, 800.0),
                 spread_mm: float = 2000.0) -> np.ndarray:

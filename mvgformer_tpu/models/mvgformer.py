@@ -1,0 +1,237 @@
+"""MVGFormer top model: backbone -> queries -> iterative-geometry decoder.
+
+TPU-native rebuild of DyanmicQueryTransformer [sic]
+(/root/reference/lib/models/dq_transformer.py:120-754) on top of its parent
+MultiviewPosetransformer (multi_view_pose_transformer.py:109-488):
+
+  * PoseResNet-50 features for all (batch, view) images in one folded pass
+    (dq_transformer.py:352-354), levels reversed to finest-first;
+  * person_joint query embeddings: joint-embed (+) instance-embed outer sum,
+    split into positional / content halves (dq_transformer.py:394-432);
+  * reference-point init 'sample_space': ceil(sqrt(Q))^2 grid over (x, y) at
+    z=0.5 in normalized space, T-pose offsets added (dq_transformer.py:
+    298-323); T-pose asset: mvgformer_tpu/assets/tpose.npy;
+  * DQDecoder stack; per-layer outputs converted to
+    {pred_logits, pred_poses, pred_poses_2d, pred_poses_2d_proj}
+    (dq_transformer.py:569-603), with inverse-sigmoid on the averaged
+    per-joint class probability and optional joint-format conversion for
+    Shelf/Campus transfer (:582-594).
+
+Matching / loss live outside the module (core.criterion) so the model apply
+stays a pure function; the gt-match query mask is an input.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mvgformer_tpu.config import Config
+from mvgformer_tpu.data.meta import Batch, ViewData
+from mvgformer_tpu.geometry.transforms import norm2absolute
+from mvgformer_tpu.models.decoder import DQDecoder
+from mvgformer_tpu.models.pose_resnet import PoseResNet
+
+_ASSET_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "mvgformer_tpu", "assets")
+
+
+def load_tpose(path: Optional[str] = None) -> np.ndarray:
+    """(15, 3) root-relative T-pose offsets in mm."""
+    candidates = []
+    if path:
+        candidates.append(path)
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "assets", "tpose.npy")
+    candidates.append(os.path.normpath(here))
+    for cand in candidates:
+        if cand and os.path.isfile(cand):
+            if cand.endswith(".pt"):
+                import torch
+
+                return torch.load(
+                    cand, map_location="cpu",
+                    weights_only=False).numpy().astype(np.float32)
+            return np.load(cand).astype(np.float32)
+    from mvgformer_tpu.data.synthetic import T_POSE
+
+    return T_POSE
+
+
+def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """models/util/misc.py:608-612."""
+    x = jnp.clip(x, 0.0, 1.0)
+    x1 = jnp.maximum(x, eps)
+    x2 = jnp.maximum(1.0 - x, eps)
+    return jnp.log(x1 / x2)
+
+
+def sample_space_reference_points(num_instance: int, t_pose: np.ndarray,
+                                  space_size, space_center) -> np.ndarray:
+    """'sample_space' init (dq_transformer.py:298-323): ceil(sqrt(Q))^2 grid
+    over normalized (x, y), z = 0.5, mapped to mm, plus T-pose offsets.
+    Returns (Q * J, 3) float32 — a compile-time constant."""
+    n = math.ceil(num_instance ** 0.5)
+    lin = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    # torch.meshgrid default 'ij': x varies along rows, y along cols
+    gx, gy = np.meshgrid(lin, lin, indexing="ij")
+    roots_norm = np.stack(
+        [gx.reshape(-1), gy.reshape(-1),
+         np.full(n * n, 0.5, dtype=np.float32)], axis=-1)[:num_instance]
+    gs = np.asarray(space_size, dtype=np.float32)
+    gc = np.asarray(space_center, dtype=np.float32)
+    roots_abs = roots_norm * gs + gc - gs / 2.0
+    joints = roots_abs[:, None, :] + t_pose[None, :, :]
+    return joints.reshape(-1, 3).astype(np.float32)
+
+
+class MVGFormer(nn.Module):
+    """Full model. Call with a Batch; returns per-layer output dicts."""
+
+    cfg: Config
+
+    def setup(self):
+        dec = self.cfg.DECODER
+        net = self.cfg.NETWORK
+        dtype = (jnp.bfloat16
+                 if self.cfg.PARALLEL.COMPUTE_DTYPE == "bfloat16"
+                 else jnp.float32)
+        self.compute_dtype = dtype
+        self.num_joints = dec.num_keypoints
+        self.num_instance = dec.num_instance
+        self.use_feat_level = tuple(dec.use_feat_level)
+
+        resnet_blocks = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3),
+                         50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
+                         152: (3, 8, 36, 3)}[self.cfg.POSE_RESNET.NUM_LAYERS]
+        self.backbone = PoseResNet(
+            block_counts=resnet_blocks,
+            deconv_filters=tuple(self.cfg.POSE_RESNET.NUM_DECONV_FILTERS),
+            dtype=dtype, name="backbone")
+
+        # torch nn.Embedding default init: N(0, 1)
+        emb_init = nn.initializers.normal(stddev=1.0)
+        self.joint_embedding = self.param(
+            "joint_embedding", emb_init,
+            (dec.num_keypoints, dec.d_model * 2))
+        self.instance_embedding = self.param(
+            "instance_embedding", emb_init,
+            (dec.num_instance, dec.d_model * 2))
+
+        self.decoder = DQDecoder(
+            num_layers=dec.num_decoder_layers,
+            share_layer_weights=dec.share_layer_weights,
+            layer_kwargs=dict(
+                d_model=dec.d_model,
+                d_ffn=dec.dim_feedforward,
+                dropout=dec.dropout,
+                n_levels=dec.num_feature_levels,
+                n_heads=dec.nhead,
+                n_points=dec.dec_n_points,
+                img_size=tuple(net.IMAGE_SIZE),
+                num_joints=dec.num_keypoints,
+                detach_refpoints=dec.detach_refpoints_cameraprj_firstlayer,
+                feature_update_method=dec.feature_update_method,
+                init_self_attention=dec.init_self_attention,
+                open_forward_ffn=dec.open_forward_ffn,
+                posembed_mode=dec.projattn_posembed_mode,
+                triangulation_solver=(
+                    "svd" if dec.triangulation_method == "svd" else "eigh"),
+                bayesian_update=dec.bayesian_update,
+                pose_embed_layers=dec.pose_embed_layer,
+                dtype=dtype,
+            ),
+            name="decoder",
+        )
+
+        t_pose = load_tpose(dec.t_pose_dir)
+        self.init_reference = jnp.asarray(sample_space_reference_points(
+            dec.num_instance, t_pose,
+            self.cfg.MULTI_PERSON.SPACE_SIZE,
+            self.cfg.MULTI_PERSON.SPACE_CENTER))  # (Q*J, 3)
+
+    def initial_reference_points(self, batch_size: int) -> jnp.ndarray:
+        """(B, Q*J, 3) absolute-mm initial query poses."""
+        return jnp.broadcast_to(
+            self.init_reference[None],
+            (batch_size, self.init_reference.shape[0], 3))
+
+    def __call__(self, batch: Batch,
+                 query_mask: Optional[jnp.ndarray] = None,
+                 threshold: float = 0.5,
+                 train: bool = False):
+        """Returns a list (per decoder layer) of output dicts:
+            pred_logits:        (B, Q, 2) inverse-sigmoid of avg joint prob
+            pred_poses:         (B, Q*J, 3) absolute mm
+            pred_poses_2d:      (B, V, Q*J, 2) refined 2D (net image, px)
+            pred_poses_2d_proj: (B, V, Q*J, 2) projected 2D (net image, px)
+        """
+        dec = self.cfg.DECODER
+        B, V = batch.views.shape[:2]
+
+        # backbone on the view-major fold (dq_transformer.py:352-354)
+        imgs = jnp.swapaxes(batch.views, 0, 1).reshape(
+            (V * B,) + batch.views.shape[2:])
+        feats = self.backbone(imgs.astype(self.compute_dtype),
+                              use_feat_level=self.use_feat_level)
+        feats = feats[::-1]  # finest-first
+        spatial_shapes = tuple(
+            (int(f.shape[1]), int(f.shape[2])) for f in feats)
+
+        # person_joint query embeddings (dq_transformer.py:394-432)
+        query_embeds = (self.joint_embedding[None]
+                        + self.instance_embedding[:, None]).reshape(
+            self.num_instance * self.num_joints, -1)
+        c = dec.d_model
+        query_embed, tgt = query_embeds[:, :c], query_embeds[:, c:]
+        if dec.close_pose_embedding:
+            query_pos = None
+        else:
+            query_pos = jnp.broadcast_to(
+                query_embed[None], (B,) + query_embed.shape)
+        tgt = jnp.broadcast_to(tgt[None], (B,) + tgt.shape)
+
+        refs0 = self.initial_reference_points(B)
+
+        filter_method = (dec.query_filter_method if dec.filter_query
+                         else "all")
+        layer_outputs = self.decoder(
+            tgt.astype(self.compute_dtype),
+            None if query_pos is None
+            else query_pos.astype(self.compute_dtype),
+            refs0, feats, spatial_shapes, batch.view_data,
+            query_mask=query_mask, threshold=threshold,
+            filter_method=filter_method, train=train)
+
+        cji = dec.convert_joint_format_indices
+        outs = []
+        for lo in layer_outputs:
+            coords = lo["refs"]
+            coords_2d = lo["refs_2d"]
+            coords_2d_proj = lo["projs_2d"]
+            if cji is not None:
+                idx = jnp.asarray(cji, dtype=jnp.int32)
+                J = self.num_joints
+                coords = coords.reshape(B, -1, J, 3)[:, :, idx].reshape(
+                    B, -1, 3)
+                coords_2d = coords_2d.reshape(B, V, -1, J, 2)[
+                    :, :, :, idx].reshape(B, V, -1, 2)
+                coords_2d_proj = coords_2d_proj.reshape(B, V, -1, J, 2)[
+                    :, :, :, idx].reshape(B, V, -1, 2)
+            outs.append({
+                "pred_logits": inverse_sigmoid(lo["class_prob"]),
+                "pred_poses": coords,
+                "pred_poses_2d": coords_2d,
+                "pred_poses_2d_proj": coords_2d_proj,
+            })
+        return outs
+
+
+def build_model(cfg: Config) -> MVGFormer:
+    return MVGFormer(cfg=cfg)

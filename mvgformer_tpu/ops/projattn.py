@@ -68,7 +68,8 @@ class ProjAttn(nn.Module):
             reference_points: (N, Lq, L, 2) per-level [0,1] sampling centers
                               (the decoder pre-multiplies by S/(S-1),
                               dq_decoder.py:570-573).
-            src_views:        list of per-level (N, C, h, w) feature maps.
+            src_views:        list of per-level (N, h, w, C) feature maps
+                              (NHWC — TPU-native; the reference is NCHW).
             spatial_shapes:   static ((h, w), ...) matching src_views.
             camera_ray_embeds: (N, sum hw, 3) ray dirs (use_rayconv mode) or
                               (N, sum hw, 2) coords (use_2d_coordconv mode).
@@ -83,21 +84,20 @@ class ProjAttn(nn.Module):
 
         # --- sample the per-level reference-point feature (projattn.py:147-153)
         # grid_sample(align_corners=False) on grid clamp(2r-1, -1.1, 1.1)
+        # src_views are NHWC: (N, h, w, C)
         ref_feats = []
         for lvl, (h, w) in enumerate(spatial_shapes):
             g = jnp.clip(reference_points[:, :, lvl, :] * 2.0 - 1.0,
                          -1.1, 1.1)
             x = (g[..., 0] + 1.0) * 0.5 * w - 0.5
             y = (g[..., 1] + 1.0) * 0.5 * h - 0.5
-            v = src_views[lvl].reshape(N, C, h * w)
-            v = jnp.swapaxes(v, 1, 2)  # (N, hw, C)
+            v = src_views[lvl].reshape(N, h * w, C)
             ref_feats.append(bilinear_sample(v, x, y, h, w))  # (N, Lq, C)
         ref_feats = jnp.stack(ref_feats, axis=2)  # (N, Lq, L, C)
 
         # --- value projection over flattened levels (projattn.py:160-175)
         input_flatten = jnp.concatenate(
-            [s.reshape(N, C, -1) for s in src_views], axis=-1)
-        input_flatten = jnp.swapaxes(input_flatten, 1, 2)  # (N, Len_in, C)
+            [s.reshape(N, -1, C) for s in src_views], axis=1)  # (N,Len_in,C)
         if self.posembed_mode == "use_rayconv":
             assert camera_ray_embeds is not None
             input_flatten = jnp.concatenate(

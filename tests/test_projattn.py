@@ -102,11 +102,12 @@ class TestProjAttnParity:
         wh = shp[:, ::-1]  # (L, 2) = (w, h)
         refpts_expand = refpts * wh / (wh - 1.0)
 
+        src_views_nhwc = [np.transpose(s, (0, 2, 3, 1)) for s in src_views]
         mod = ProjAttn(d_model=d_model, n_levels=n_levels, n_heads=n_heads,
                        n_points=n_points)
         params = mod.init(jax.random.PRNGKey(0), jnp.asarray(query),
                           jnp.asarray(refpts_expand),
-                          [jnp.asarray(s) for s in src_views], shapes)
+                          [jnp.asarray(s) for s in src_views_nhwc], shapes)
         params = jax.tree_util.tree_map(lambda x: x, params)  # mutable copy
         p = params["params"]
         _copy_torch_linear(p, ref.sampling_offsets, "sampling_offsets")
@@ -116,7 +117,7 @@ class TestProjAttnParity:
 
         ours = np.asarray(mod.apply(
             params, jnp.asarray(query), jnp.asarray(refpts_expand),
-            [jnp.asarray(s) for s in src_views], shapes))
+            [jnp.asarray(s) for s in src_views_nhwc], shapes))
 
         with torch.no_grad():
             theirs = ref(
@@ -154,7 +155,7 @@ class TestProjAttnParity:
         params = mod.init(
             jax.random.PRNGKey(1), jnp.zeros((1, 5, 32)),
             jnp.zeros((1, 5, 1, 2)),
-            [jnp.zeros((1, 32, 4, 6))], shapes)
+            [jnp.zeros((1, 4, 6, 32))], shapes)
         assert np.all(np.asarray(
             params["params"]["sampling_offsets"]["kernel"]) == 0)
         got = np.asarray(params["params"]["sampling_offsets"]["bias"])
