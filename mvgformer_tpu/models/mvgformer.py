@@ -141,8 +141,12 @@ class MVGFormer(nn.Module):
                 init_self_attention=dec.init_self_attention,
                 open_forward_ffn=dec.open_forward_ffn,
                 posembed_mode=dec.projattn_posembed_mode,
+                # 'linalg'/'batch'/'default' (reference SVD variants) -> svd;
+                # 'eigh' is this framework's fast TPU option (4x4 Gram
+                # eigendecomposition; numerically looser on ill-conditioned
+                # queries, see geometry.triangulate)
                 triangulation_solver=(
-                    "svd" if dec.triangulation_method == "svd" else "eigh"),
+                    "eigh" if dec.triangulation_method == "eigh" else "svd"),
                 bayesian_update=dec.bayesian_update,
                 pose_embed_layers=dec.pose_embed_layer,
                 dtype=dtype,

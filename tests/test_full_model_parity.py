@@ -1,0 +1,138 @@
+"""Full-model forward parity: MVGFormer (flax) vs the reference torch model.
+
+Builds the reference DyanmicQueryTransformer on CPU with random weights,
+converts the complete state_dict with utils.torch_convert, and compares the
+per-layer outputs on identical synthetic multi-view inputs. This is the
+round-1 stand-in for the released-checkpoint golden test (no checkpoint is
+shipped in this environment); the same converter loads real checkpoints.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvgformer_tpu.config import load_config
+from mvgformer_tpu.data.synthetic import make_batch
+from mvgformer_tpu.models.mvgformer import MVGFormer
+from mvgformer_tpu.utils.torch_convert import convert_mvgformer_state_dict
+
+from oracles import (reference_available, ref_config, ref_dq_transformer,
+                     make_ref_meta)
+
+needs_ref = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not available")
+
+
+def _small_cfgs(query_filter_method="all", num_instance=16):
+    """Matching (reference edict, our Config) small test configs."""
+    cfg = load_config()
+    cfg.NETWORK.IMAGE_SIZE = [96, 64]
+    cfg.DECODER.d_model = 32
+    cfg.DECODER.dim_feedforward = 64
+    cfg.DECODER.nhead = 4
+    cfg.DECODER.dec_n_points = 2
+    cfg.DECODER.num_decoder_layers = 2
+    cfg.DECODER.num_instance = num_instance
+    cfg.DECODER.query_filter_method = query_filter_method
+    cfg.DECODER.t_pose_dir = "/root/reference/tpose.pt"
+    cfg.POSE_RESNET.NUM_DECONV_FILTERS = [32, 32, 32]
+    cfg.DATASET.CAMERA_NUM = 3
+    cfg.MULTI_PERSON.MAX_PEOPLE_NUM = 4
+    cfg.PARALLEL.COMPUTE_DTYPE = "float32"
+
+    rc = ref_config()
+    rc.NETWORK.IMAGE_SIZE = np.array([96, 64])
+    rc.NETWORK.NUM_JOINTS = 15
+    rc.DECODER.d_model = 32
+    rc.DECODER.dim_feedforward = 64
+    rc.DECODER.nhead = 4
+    rc.DECODER.dec_n_points = 2
+    rc.DECODER.num_decoder_layers = 2
+    rc.DECODER.num_instance = num_instance
+    rc.DECODER.num_keypoints = 15
+    rc.DECODER.num_feature_levels = 1
+    rc.DECODER.with_pose_refine = True
+    rc.DECODER.query_filter_method = query_filter_method
+    rc.DECODER.projattn_posembed_mode = "ablation_not_use_rayconv"
+    rc.DECODER.feature_update_method = "MLP"
+    rc.DECODER.open_forward_ffn = True
+    rc.DECODER.init_self_attention = False
+    rc.DECODER.gt_match = False
+    rc.DECODER.match_method = "KNN"
+    rc.DECODER.match_method_value = 5
+    rc.DECODER.t_pose_dir = "/root/reference/tpose.pt"
+    rc.DECODER.triangulation_method = "linalg"
+    rc.DECODER.filter_query = query_filter_method != "all"
+    rc.POSE_RESNET.NUM_DECONV_FILTERS = [32, 32, 32]
+    rc.MULTI_PERSON.SPACE_SIZE = np.array([8000.0, 8000.0, 2000.0])
+    rc.MULTI_PERSON.SPACE_CENTER = np.array([0.0, -500.0, 800.0])
+    rc.MULTI_PERSON.MAX_PEOPLE_NUM = 4
+    rc.DATASET.CAMERA_NUM = 3
+    rc.DEBUG.LOG_VAL_LOSS = False
+    rc.DEBUG.VISUALIZATION_JUMP_NUM = -1
+    return cfg, rc
+
+
+def _run_pair(query_filter_method, threshold, batch_size, seed=0):
+    import torch
+    cfg, rc = _small_cfgs(query_filter_method)
+    torch.manual_seed(0)
+    ref = ref_dq_transformer(rc).eval()
+    # perturb BN stats so backbone parity is non-trivial
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.3)
+
+    batch = make_batch(cfg, batch_size=batch_size, seed=seed, num_people=2)
+    views, meta = make_ref_meta(batch, cfg)
+
+    with torch.no_grad():
+        out_ref = ref(views=views, meta=meta, threshold=threshold,
+                      frame_id=0)
+
+    model = MVGFormer(cfg=cfg)
+    variables = convert_mvgformer_state_dict(ref.state_dict(), cfg)
+    outs = model.apply(variables, batch, threshold=threshold)
+    return out_ref, outs, cfg
+
+
+class TestFullModelParity:
+    @needs_ref
+    def test_forward_parity_all_queries(self):
+        out_ref, outs, cfg = _run_pair("all", threshold=0.0, batch_size=2)
+        last = outs[-1]
+        ref_logits = out_ref["pred_logits"].numpy()
+        ref_poses = out_ref["pred_poses"]["outputs_coord"].numpy()
+        ref_2d = out_ref["pred_poses_2d"]["outputs_coord_2d"].numpy()
+
+        np.testing.assert_allclose(np.asarray(last["pred_logits"]),
+                                   ref_logits, rtol=1e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(last["pred_poses"]),
+                                   ref_poses, rtol=1e-3, atol=2.0)
+        np.testing.assert_allclose(np.asarray(last["pred_poses_2d"]),
+                                   ref_2d, rtol=1e-3, atol=0.5)
+
+    @needs_ref
+    def test_forward_parity_threshold_filtering(self):
+        """Threshold-filtered path, batch 1 (no padding quirk): the sparse
+        reference and the dense-masked rebuild must agree."""
+        filtered_case_seen = False
+        for threshold in (0.45, 0.5, 0.52, 0.55):
+            out_ref, outs, cfg = _run_pair("threshold", threshold=threshold,
+                                           batch_size=1, seed=2)
+            last = outs[-1]
+            ref_poses = out_ref["pred_poses"]["outputs_coord"].numpy()
+            ours = np.asarray(last["pred_poses"])
+            np.testing.assert_allclose(ours, ref_poses, rtol=1e-3, atol=2.0)
+            zeros = np.all(
+                ref_poses.reshape(1, cfg.DECODER.num_instance, -1) == 0,
+                axis=-1)
+            if zeros.any() and not zeros.all():
+                filtered_case_seen = True
+                break
+        assert filtered_case_seen, \
+            "no threshold produced a partially-filtered query set"
