@@ -176,17 +176,26 @@ def compute_losses(cfg: Config,
                    layer_outputs: List[Dict[str, jnp.ndarray]],
                    batch: Batch,
                    match: MatchResult,
-                   axis_name: Optional[str] = None) -> Dict[str, jnp.ndarray]:
+                   axis_name: Optional[str] = None,
+                   num_replicas: int = 1) -> Dict[str, jnp.ndarray]:
     """Decay-weighted per-layer criterion + total weighted loss.
 
     Returns a dict with each loss term plus 'total' (the weighted sum used
     for backprop, mirroring lib/core/function.py:127-128).
+
+    num_samples semantics: the reference computes per-rank
+    clamp(total_gt / world, 1) via NCCL all_reduce, then DDP averages
+    gradients, which nets out to global_sum / max(total_gt, world)
+    (multi_view_pose_transformer.py:847-855). With a global-batch jit the
+    equivalent is num_samples = max(sum(num_person), num_replicas); under
+    shard_map pass axis_name instead and the psum reproduces the all_reduce.
     """
     dec = cfg.DECODER
     num = jnp.sum(batch.targets.num_person).astype(jnp.float32)
     if axis_name is not None:
-        num = jax.lax.pmean(num, axis_name)
-    num_samples = jnp.maximum(num, 1.0)
+        num = jax.lax.psum(num, axis_name)
+        num_replicas = jax.lax.psum(1, axis_name)
+    num_samples = jnp.maximum(num, jnp.float32(num_replicas))
 
     per_layer = [compute_layer_losses(cfg, out, batch, match, num_samples)
                  for out in layer_outputs]

@@ -1,0 +1,164 @@
+"""Training step: one jit-compiled program over a data-parallel mesh.
+
+Rebuild of the reference's training core (/root/reference/run/train_3d.py:
+116-146 optimizer construction, lib/core/function.py:56-326 loop body) as a
+single compiled step: match -> forward (all decoder layers) -> criterion ->
+grad -> clip -> Adam update, all traced. The batch is sharded over the
+'data' mesh axis; gradient reduction is XLA's all-reduce over ICI (replacing
+DDP/NCCL). The frozen backbone and the 0.1x learning-rate group for
+sampling_offsets / reference-point projections reproduce the reference's
+two-param-group optimizer (run/train_3d.py:123-146) via optax partitions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from mvgformer_tpu.config import Config
+from mvgformer_tpu.core.criterion import compute_losses, match_queries
+from mvgformer_tpu.data.meta import Batch
+from mvgformer_tpu.models.mvgformer import MVGFormer
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_lr_schedule(cfg: Config, steps_per_epoch: int):
+    """MultiStep (LR_FACTOR at LR_STEP epochs) or cosine over END_EPOCH
+    (run/train_3d.py:280-290)."""
+    base = cfg.TRAIN.LR
+    total = cfg.TRAIN.END_EPOCH * steps_per_epoch
+    if cfg.TRAIN.LR_SCHEDULER == "cosine":
+        return optax.cosine_decay_schedule(base, max(total, 1))
+    boundaries = {int(e) * steps_per_epoch: cfg.TRAIN.LR_FACTOR
+                  for e in cfg.TRAIN.LR_STEP}
+    return optax.piecewise_constant_schedule(base, boundaries)
+
+
+def _param_labels(params) -> Any:
+    """Label tree: 'frozen' (backbone), 'proj' (0.1x lr), 'main'.
+
+    Mirrors get_optimizer (run/train_3d.py:116-146): backbone requires_grad
+    False; params whose name contains 'sampling_offsets' or
+    'reference_points' go to the lr_linear_proj_mult group.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def label_of(path):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if keys and keys[0] == "backbone":
+            return "frozen"
+        if any("sampling_offsets" in k or "reference_points" in k
+               for k in keys):
+            return "proj"
+        return "main"
+
+    labels = {jax.tree_util.keystr(path): label_of(path)
+              for path, _ in flat}
+
+    def build(path, _):
+        return labels[jax.tree_util.keystr(path)]
+
+    return jax.tree_util.tree_map_with_path(build, params)
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(cfg, steps_per_epoch)
+    mult = cfg.DECODER.lr_linear_proj_mult
+
+    def adam(lr_scale):
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.TRAIN.clip_max_norm),
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(
+                lambda step: schedule(step) * lr_scale),
+        )
+
+    return optax.multi_transform(
+        {"main": adam(1.0), "proj": adam(mult),
+         "frozen": optax.set_to_zero()},
+        _param_labels,
+    )
+
+
+def create_train_state(cfg: Config, model: MVGFormer, batch: Batch,
+                       rng, steps_per_epoch: int = 1000) -> Tuple[TrainState, optax.GradientTransformation]:
+    variables = model.init(rng, batch)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = make_optimizer(cfg, steps_per_epoch)
+    opt_state = tx.init(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=opt_state), tx
+
+
+def make_train_step(cfg: Config, model: MVGFormer,
+                    tx: optax.GradientTransformation,
+                    num_replicas: int = 1,
+                    donate: bool = True):
+    """Returns train_step(state, batch, rng) -> (state, metrics), jittable.
+
+    The full step — gt-match on the initial query grid, 4-layer decoder
+    forward, criterion, backward, clipped Adam — is one XLA program
+    (SURVEY.md §7 design delta 6).
+    """
+
+    def loss_fn(params, batch_stats, batch, match, rng):
+        outs = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch,
+            query_mask=match.query_mask if cfg.DECODER.gt_match else None,
+            train=True, rngs={"dropout": rng})
+        losses = compute_losses(cfg, outs, batch, match,
+                                num_replicas=num_replicas)
+        return losses["total"], losses
+
+    def train_step(state: TrainState, batch: Batch, rng):
+        init_refs = model.initial_reference_points_static(
+            batch.views.shape[0])
+        match = match_queries(cfg, init_refs, batch)
+        (_, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   batch, match, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               batch_stats=state.batch_stats,
+                               opt_state=opt_state)
+        metrics = {k: v for k, v in losses.items()
+                   if not isinstance(v, (list, dict))}
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(cfg: Config, model: MVGFormer, threshold: float):
+    """Jitted inference step returning the reference's pred array
+    (lib/core/function.py:386-394): (B, Q, J, 5) = xyz | (score>thr)-1 |
+    score."""
+
+    def eval_step(params, batch_stats, batch: Batch):
+        outs = model.apply({"params": params, "batch_stats": batch_stats},
+                           batch, threshold=threshold)
+        out = outs[-1]
+        B, Q = out["pred_logits"].shape[:2]
+        poses = out["pred_poses"].reshape(B, Q, -1, 3)
+        J = poses.shape[2]
+        score = jax.nn.sigmoid(out["pred_logits"][:, :, 1:2])
+        score = jnp.broadcast_to(score[:, :, None], (B, Q, J, 1))
+        flag = (score > threshold).astype(poses.dtype) - 1.0
+        return jnp.concatenate([poses, flag, score], axis=-1)
+
+    return jax.jit(eval_step)

@@ -166,6 +166,17 @@ class MVGFormer(nn.Module):
             self.init_reference[None],
             (batch_size, self.init_reference.shape[0], 3))
 
+    def initial_reference_points_static(self, batch_size: int) -> jnp.ndarray:
+        """Same as initial_reference_points but usable on the unbound module
+        (no parameters involved — the init grid is a config constant)."""
+        dec = self.cfg.DECODER
+        refs = sample_space_reference_points(
+            dec.num_instance, load_tpose(dec.t_pose_dir),
+            self.cfg.MULTI_PERSON.SPACE_SIZE,
+            self.cfg.MULTI_PERSON.SPACE_CENTER)
+        return jnp.broadcast_to(jnp.asarray(refs)[None],
+                                (batch_size, refs.shape[0], 3))
+
     def __call__(self, batch: Batch,
                  query_mask: Optional[jnp.ndarray] = None,
                  threshold: float = 0.5,
