@@ -1,0 +1,64 @@
+"""Benchmark: flagship-model multi-view inference throughput per chip.
+
+Runs the full MVGFormer forward (PoseResNet-50 on 5x 512x960 views, 1024
+queries x 15 joints, 4 decoder layers with dense triangulation) on the
+available accelerator and reports frames/sec/chip, where one "frame" is one
+multi-view sample (5 views), matching the reference's per-frame eval loop
+(/root/reference/lib/core/function.py:363-396).
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md §6); the
+denominator below is a provisional estimate of the torch reference's A100
+per-GPU inference rate at this setting (~10 multi-view frames/s, derived
+from its per-stage timing-hook structure and typical MvP-family runtimes).
+vs_baseline therefore reads as "estimated speedup over the A100 torch
+reference"; the BASELINE.json throughput gate is vs_baseline >= 5.
+"""
+
+import json
+import time
+
+A100_REFERENCE_FPS_ESTIMATE = 10.0
+
+
+def main():
+    import jax
+
+    from mvgformer_tpu.core.train import make_eval_step
+    from mvgformer_tpu.config import load_config
+    from mvgformer_tpu.data.synthetic import make_batch
+    from mvgformer_tpu.models.mvgformer import MVGFormer
+
+    cfg = load_config()
+    cfg.DECODER.num_instance = 1024
+    cfg.DATASET.CAMERA_NUM = 5
+    cfg.NETWORK.IMAGE_SIZE = [960, 512]
+
+    batch_size = 1
+    model = MVGFormer(cfg=cfg)
+    batch = make_batch(cfg, batch_size=batch_size, seed=0, num_people=3)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    eval_step = make_eval_step(cfg, model, threshold=0.1)
+
+    # warmup + compile
+    pred = eval_step(variables["params"], variables["batch_stats"], batch)
+    jax.block_until_ready(pred)
+
+    iters = 20
+    start = time.perf_counter()
+    for _ in range(iters):
+        pred = eval_step(variables["params"], variables["batch_stats"],
+                         batch)
+    jax.block_until_ready(pred)
+    elapsed = time.perf_counter() - start
+
+    fps = batch_size * iters / elapsed
+    print(json.dumps({
+        "metric": "panoptic_5view_inference_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / A100_REFERENCE_FPS_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

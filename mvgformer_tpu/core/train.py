@@ -95,7 +95,7 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
 
 def create_train_state(cfg: Config, model: MVGFormer, batch: Batch,
                        rng, steps_per_epoch: int = 1000) -> Tuple[TrainState, optax.GradientTransformation]:
-    variables = model.init(rng, batch)
+    variables = jax.jit(model.init)(rng, batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = make_optimizer(cfg, steps_per_epoch)

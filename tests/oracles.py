@@ -86,6 +86,18 @@ def _init_paths():
             mm.runner.get_dist_info = lambda: (0, 1)
             sys.modules["mmcv"] = mm
             sys.modules["mmcv.runner"] = mm.runner
+    if "json_tricks" not in sys.modules:
+        try:
+            import json_tricks  # noqa: F401
+        except ImportError:
+            import json as _json
+
+            jt = types.ModuleType("json_tricks")
+            jt.load = _json.load
+            jt.loads = _json.loads
+            jt.dump = _json.dump
+            jt.dumps = _json.dumps
+            sys.modules["json_tricks"] = jt
     for name in ("wandb", "prettytable"):
         if name not in sys.modules:
             try:

@@ -1,0 +1,117 @@
+"""Evaluation metric tests: NMS parity, AP/MPJPE/PCP behavior."""
+
+import numpy as np
+import pytest
+
+from mvgformer_tpu.core.evaluate import (
+    evaluate_ap_mpjpe, evaluate_pcp, eval_list_to_ap)
+from mvgformer_tpu.core.nms import apply_pose_nms, nearby_joints_nms
+from mvgformer_tpu.data.synthetic import make_people
+
+from oracles import reference_available, _init_paths
+
+needs_ref = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not available")
+
+
+def _pred_from_people(people, score=0.9, flag=0.0):
+    n = len(people)
+    out = np.zeros((n, people.shape[1], 5), dtype=np.float32)
+    out[:, :, :3] = people
+    out[:, :, 3] = flag
+    out[:, :, 4] = score
+    return out
+
+
+class TestNMS:
+    @needs_ref
+    def test_matches_reference_nms(self, rng):
+        _init_paths()
+        import core.nms as ref_nms  # type: ignore
+
+        people = make_people(6, seed=1)
+        # duplicate two instances with small perturbations and lower scores
+        dup = people[:2] + rng.normal(0, 15.0, people[:2].shape)
+        kpts = _pred_from_people(np.concatenate([people, dup]))
+        kpts[:, 0, 4] = np.linspace(0.9, 0.3, len(kpts))
+
+        ours = nearby_joints_nms(kpts, dist_thr=0.3,
+                                 num_nearby_joints_thr=7)
+        theirs = ref_nms.nearby_joints_nms(kpts, 0.3,
+                                           num_nearby_joints_thr=7)
+        assert list(ours) == list(theirs)
+        assert len(ours) == 6  # duplicates suppressed
+
+    def test_apply_pose_nms_filters_flag(self):
+        people = make_people(3, seed=2)
+        kpts = _pred_from_people(people)
+        kpts[0, :, 3] = -1  # below threshold
+        out = apply_pose_nms(kpts)
+        assert len(out) == 2
+
+
+class TestAP:
+    def test_perfect_predictions(self):
+        gts = [make_people(3, seed=i) for i in range(4)]
+        preds = [_pred_from_people(g) for g in gts]
+        m = evaluate_ap_mpjpe(preds, gts)
+        assert m["ap@25"] == pytest.approx(1.0, abs=1e-3)
+        assert m["mpjpe"] == pytest.approx(0.0, abs=1e-3)
+        assert m["recall@500"] == pytest.approx(1.0)
+
+    def test_noise_degrades_ap25_not_ap150(self, rng):
+        gts = [make_people(3, seed=i) for i in range(4)]
+        preds = [_pred_from_people(
+            g + rng.normal(0, 30.0, g.shape)) for g in gts]
+        m = evaluate_ap_mpjpe(preds, gts)
+        assert m["ap@150"] > 0.99
+        assert m["ap@25"] < m["ap@150"]
+        assert 10.0 < m["mpjpe"] < 120.0
+
+    def test_false_positives_hurt_ap(self):
+        gts = [make_people(2, seed=5)]
+        fp = make_people(2, seed=9) + 4000.0
+        pred = np.concatenate([
+            _pred_from_people(gts[0], score=0.8),
+            _pred_from_people(fp, score=0.9),  # confident false positives
+        ])
+        m = evaluate_ap_mpjpe([pred], gts)
+        assert m["ap@25"] < 0.6
+
+    @needs_ref
+    def test_ap_matches_reference_helper(self, rng):
+        """_eval_list_to_ap parity on a random eval list."""
+        _init_paths()
+        from dataset.panoptic import Panoptic  # type: ignore
+
+        eval_list = [{"mpjpe": float(rng.uniform(0, 200)),
+                      "score": float(rng.uniform(0, 1)),
+                      "gt_id": int(rng.randint(0, 12))}
+                     for _ in range(40)]
+        total_gt = 12
+        for t in (25, 50, 100):
+            ours = eval_list_to_ap([dict(e) for e in eval_list], total_gt, t)
+            theirs = Panoptic._eval_list_to_ap(
+                [dict(e) for e in eval_list], total_gt, t)
+            assert ours[0] == pytest.approx(theirs[0], abs=1e-9)
+            assert ours[1] == pytest.approx(theirs[1], abs=1e-9)
+
+
+class TestPCP:
+    def test_perfect_pcp(self):
+        people = make_people(3, seed=0)[:, :14]  # 14-joint format
+        preds = [_pred_from_people(people)] * 5
+        gts = [[people[a] for a in range(3)]] * 5
+        actor_pcp, avg_pcp, bone_pcp, recall = evaluate_pcp(
+            preds, gts, num_actors=3)
+        assert avg_pcp == pytest.approx(1.0)
+        assert recall == pytest.approx(1.0, abs=1e-6)
+
+    def test_missing_actor_skipped(self):
+        people = make_people(3, seed=0)[:, :14]
+        preds = [_pred_from_people(people[:2])]
+        gts = [[people[0], people[1], np.zeros((0,))]]
+        actor_pcp, avg_pcp, _, recall = evaluate_pcp(preds, gts,
+                                                     num_actors=3)
+        assert actor_pcp[0] == pytest.approx(1.0)
+        assert actor_pcp[2] == 0.0
