@@ -1,0 +1,92 @@
+"""Checkpoint save/load via orbax.
+
+TPU-native replacement of the reference's torch checkpointing
+(/root/reference/lib/utils/utils.py:105-150: per-epoch checkpoint.pth.tar
+{epoch, state_dict, optimizer, lr_scheduler, precision} + model_best):
+an orbax CheckpointManager keeping `checkpoint` (latest) and best-metric
+tracking, plus the torch->flax converters in utils.torch_convert for loading
+reference .pth.tar weights (backbone pretrain and full-model finetune paths,
+lib/utils/utils.py:124-188).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _manager(ckpt_dir: str, max_to_keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True),
+    )
+
+
+def save_checkpoint(ckpt_dir: str, state, epoch: int,
+                    precision: Optional[float] = None,
+                    is_best: bool = False) -> None:
+    """Save {state, epoch, precision}; mirrors save_checkpoint
+    (lib/utils/utils.py:144-150) incl. best tracking."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(ckpt_dir)
+    payload = {
+        "state": jax.tree_util.tree_map(np.asarray, state),
+        "meta": {"epoch": epoch,
+                 "precision": float(precision or 0.0),
+                 "is_best": bool(is_best)},
+    }
+    mgr.save(epoch, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+    if is_best:
+        best_dir = os.path.join(os.path.abspath(ckpt_dir), "best")
+        best = ocp.CheckpointManager(
+            best_dir, options=ocp.CheckpointManagerOptions(max_to_keep=1,
+                                                           create=True))
+        best.save(epoch, args=ocp.args.StandardSave(payload))
+        best.wait_until_finished()
+
+
+def load_checkpoint(ckpt_dir: str, state_like, step: Optional[int] = None):
+    """Restore (state, epoch, precision); resume path
+    (lib/utils/utils.py:105-122)."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(ckpt_dir)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        return None
+    template = {
+        "state": jax.tree_util.tree_map(np.asarray, state_like),
+        "meta": {"epoch": 0, "precision": 0.0, "is_best": False},
+    }
+    payload = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    state = jax.tree_util.tree_map(
+        lambda like, got: type(like)(got) if hasattr(like, "dtype")
+        else got, state_like, payload["state"])
+    return payload["state"], payload["meta"]["epoch"], \
+        payload["meta"]["precision"]
+
+
+def load_backbone_pretrained(path: str, variables: dict) -> dict:
+    """Load a PoseResNet .pth.tar backbone pretrain into full-model
+    variables (lib/utils/utils.py:152-188; final-layer is not part of this
+    model, so no reinit is needed)."""
+    import torch
+
+    from mvgformer_tpu.models.pose_resnet import convert_torch_state_dict
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+    bb = convert_torch_state_dict(sd)
+    params = dict(variables["params"])
+    stats = dict(variables.get("batch_stats", {}))
+    params["backbone"] = bb["params"]
+    stats["backbone"] = bb["batch_stats"]
+    return {"params": params, "batch_stats": stats}

@@ -1,0 +1,150 @@
+"""Training entry point (reference: /root/reference/run/train_3d.py).
+
+Single program for 1..N chips: the jit-compiled train step is sharded over a
+data-parallel mesh (replacing torchrun+DDP); eval runs per-epoch with NMS +
+AP/MPJPE tables; checkpoints via orbax with best-model tracking.
+
+Usage:
+    python run/train.py --cfg configs/panoptic/knn5-lr4-q1024-g8.yaml \
+        [KEY.SUBKEY=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Train MVGFormer-TPU")
+    parser.add_argument("--cfg", required=True, help="experiment yaml")
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="optional step cap (smoke runs)")
+    args, overrides = parser.parse_known_args()
+    return args, overrides
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from mvgformer_tpu.config import load_config
+    from mvgformer_tpu.core.criterion import match_queries
+    from mvgformer_tpu.core.nms import apply_pose_nms
+    from mvgformer_tpu.core.train import (create_train_state,
+                                          make_eval_step, make_train_step)
+    from mvgformer_tpu.data.datasets import get_dataset
+    from mvgformer_tpu.models.mvgformer import MVGFormer
+    from mvgformer_tpu.parallel import make_mesh, shard_batch
+    from mvgformer_tpu.utils.checkpoint import (load_backbone_pretrained,
+                                                load_checkpoint,
+                                                save_checkpoint)
+    from mvgformer_tpu.utils.logging import create_logger, MetricLogger
+
+    args, overrides = parse_args()
+    cfg = load_config(args.cfg, overrides)
+    logger, out_dir = create_logger(cfg, args.cfg, phase="train")
+    logger.info("devices: %s", jax.devices())
+
+    train_ds = get_dataset(cfg, cfg.DATASET.TRAIN_SUBSET, is_train=True)
+    test_ds = get_dataset(cfg, cfg.DATASET.TEST_SUBSET, is_train=False)
+    logger.info("train frames: %d, test frames: %d",
+                len(train_ds), len(test_ds))
+
+    n_dev = jax.device_count()
+    global_batch = cfg.TRAIN.BATCH_SIZE * n_dev
+    steps_per_epoch = max(len(train_ds) // global_batch, 1)
+
+    model = MVGFormer(cfg=cfg)
+    mesh = make_mesh(n_dev)
+    rng = jax.random.PRNGKey(cfg.TRAIN.SEED)
+
+    init_batch = train_ds.load_batch(list(range(global_batch))
+                                     if len(train_ds) >= global_batch
+                                     else [0] * global_batch)
+    state, tx = create_train_state(cfg, model, init_batch, rng,
+                                   steps_per_epoch=steps_per_epoch)
+    if cfg.NETWORK.PRETRAINED_BACKBONE:
+        variables = load_backbone_pretrained(
+            cfg.NETWORK.PRETRAINED_BACKBONE,
+            {"params": state.params, "batch_stats": state.batch_stats})
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        logger.info("loaded pretrained backbone %s",
+                    cfg.NETWORK.PRETRAINED_BACKBONE)
+
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    begin_epoch = cfg.TRAIN.BEGIN_EPOCH
+    best_precision = 0.0
+    if cfg.TRAIN.RESUME:
+        restored = load_checkpoint(ckpt_dir, state)
+        if restored is not None:
+            state, begin_epoch, best_precision = restored
+            logger.info("resumed from epoch %d", begin_epoch)
+
+    train_step = make_train_step(cfg, model, tx, num_replicas=n_dev)
+    eval_step = make_eval_step(cfg, model,
+                               threshold=cfg.DECODER.inference_conf_thr[0])
+
+    total_steps = 0
+    for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
+        meter = MetricLogger()
+        t_epoch = time.time()
+        for step, (idx, batch) in enumerate(train_ds.batches(
+                global_batch, shuffle=cfg.TRAIN.SHUFFLE,
+                seed=cfg.TRAIN.SEED + epoch)):
+            rng, sub = jax.random.split(rng)
+            batch = shard_batch(batch, mesh)
+            state, metrics = train_step(state, batch, sub)
+            meter.update({k: float(v) for k, v in metrics.items()})
+            total_steps += 1
+            if step % cfg.PRINT_FREQ == 0:
+                logger.info("epoch %d step %d | %s", epoch, step,
+                            meter.format())
+            if args.max_steps and total_steps >= args.max_steps:
+                break
+
+        logger.info("epoch %d done in %.1fs | %s", epoch,
+                    time.time() - t_epoch, meter.format())
+
+        # ---- per-epoch eval (run/train_3d.py:309-399)
+        preds = []
+        for idx, batch in test_ds.batches(global_batch, shuffle=False,
+                                          drop_last=False):
+            batch = shard_batch(batch, mesh)
+            pred = np.asarray(eval_step(state.params, state.batch_stats,
+                                        batch))
+            for b, frame_idx in enumerate(idx):
+                if len(preds) <= frame_idx:
+                    preds.extend([None] * (frame_idx + 1 - len(preds)))
+                preds[frame_idx] = pred[b]
+        preds = [p for p in preds if p is not None]
+        nmsed = [apply_pose_nms(p) for p in preds]
+        metrics = test_ds.evaluate(nmsed)
+        if isinstance(metrics, dict):
+            logger.info("eval epoch %d: %s", epoch, {
+                k: round(v, 4) for k, v in metrics.items()})
+            precision = metrics.get("ap@25", 0.0)
+        else:  # PCP datasets
+            actor_pcp, avg_pcp, _, recall = metrics
+            logger.info("eval epoch %d: PCP %s avg %.4f recall %.4f",
+                        epoch, actor_pcp, avg_pcp, recall)
+            precision = avg_pcp
+
+        is_best = precision > best_precision
+        best_precision = max(best_precision, precision)
+        save_checkpoint(ckpt_dir, state, epoch, precision, is_best)
+        if args.max_steps and total_steps >= args.max_steps:
+            break
+
+    logger.info("done; best precision %.4f", best_precision)
+
+
+if __name__ == "__main__":
+    main()

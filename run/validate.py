@@ -1,0 +1,105 @@
+"""Validation / inference entry point (reference: run/validate_3d.py).
+
+Loads a checkpoint (orbax, or a converted reference .pth.tar), runs jitted
+inference over the eval set for each configured confidence threshold, applies
+pose NMS, and prints the AP/MPJPE (Panoptic) or PCP (Shelf/Campus) tables.
+
+Usage:
+    python run/validate.py --cfg configs/panoptic/knn5-lr4-q1024-g8.yaml \
+        --model_path <orbax dir | reference .pth.tar> [KEY.SUBKEY=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Validate MVGFormer-TPU")
+    parser.add_argument("--cfg", required=True)
+    parser.add_argument("--model_path", default=None,
+                        help="orbax checkpoint dir or reference .pth.tar")
+    parser.add_argument("--save_preds", default=None,
+                        help="save raw predictions to this .npy")
+    args, overrides = parser.parse_known_args()
+    return args, overrides
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from mvgformer_tpu.config import load_config
+    from mvgformer_tpu.core.nms import apply_pose_nms
+    from mvgformer_tpu.core.train import make_eval_step
+    from mvgformer_tpu.data.datasets import get_dataset
+    from mvgformer_tpu.models.mvgformer import MVGFormer
+    from mvgformer_tpu.parallel import make_mesh, shard_batch
+    from mvgformer_tpu.utils.logging import create_logger
+
+    args, overrides = parse_args()
+    cfg = load_config(args.cfg, overrides)
+    logger, out_dir = create_logger(cfg, args.cfg, phase="validate")
+
+    test_ds = get_dataset(cfg, cfg.DATASET.TEST_SUBSET, is_train=False)
+    logger.info("eval frames: %d", len(test_ds))
+
+    model = MVGFormer(cfg=cfg)
+    n_dev = jax.device_count()
+    mesh = make_mesh(n_dev)
+    batch_size = max(cfg.TEST.BATCH_SIZE // max(n_dev, 1), 1) * n_dev
+
+    init_batch = test_ds.load_batch([0] * batch_size, load_images=False)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), init_batch)
+
+    if args.model_path:
+        if args.model_path.endswith((".pth", ".tar", ".pth.tar")):
+            from mvgformer_tpu.utils.torch_convert import \
+                load_torch_checkpoint
+
+            variables = load_torch_checkpoint(args.model_path, cfg)
+            logger.info("converted torch checkpoint %s", args.model_path)
+        else:
+            from mvgformer_tpu.utils.checkpoint import load_checkpoint
+
+            restored = load_checkpoint(args.model_path, variables)
+            if restored is None:
+                raise FileNotFoundError(args.model_path)
+            variables = restored[0]
+            logger.info("restored %s (epoch %d)", args.model_path,
+                        restored[1])
+
+    for thr in cfg.DECODER.inference_conf_thr:
+        eval_step = make_eval_step(cfg, model, threshold=thr)
+        preds = [None] * len(test_ds)
+        for idx, batch in test_ds.batches(batch_size, shuffle=False,
+                                          drop_last=False):
+            batch = shard_batch(batch, mesh)
+            pred = np.asarray(eval_step(variables["params"],
+                                        variables["batch_stats"], batch))
+            for b, frame_idx in enumerate(idx):
+                preds[frame_idx] = pred[b]
+        preds = [p for p in preds if p is not None]
+        if args.save_preds:
+            np.save(args.save_preds, np.stack(preds))
+
+        nmsed = [apply_pose_nms(p) for p in preds]
+        metrics = test_ds.evaluate(nmsed)
+        if isinstance(metrics, dict):
+            logger.info("thr=%s  %s", thr,
+                        {k: round(v, 4) for k, v in metrics.items()})
+        else:
+            actor_pcp, avg_pcp, bone_pcp, recall = metrics
+            logger.info("thr=%s  PCP per-actor %s avg %.4f recall@500 %.4f",
+                        thr, np.round(actor_pcp, 4), avg_pcp, recall)
+            for k, v in bone_pcp.items():
+                logger.info("  %s: %s", k, np.round(v, 4))
+
+
+if __name__ == "__main__":
+    main()
