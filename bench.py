@@ -39,16 +39,22 @@ def main():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     eval_step = make_eval_step(cfg, model, threshold=0.1)
 
-    # warmup + compile
-    pred = eval_step(variables["params"], variables["batch_stats"], batch)
-    jax.block_until_ready(pred)
+    # warmup + compile; timing uses an explicit host readback per
+    # iteration because block_until_ready can return early under the
+    # remote TPU relay used in this environment
+    import jax.numpy as jnp
+
+    def step_scalar():
+        pred = eval_step(variables["params"], variables["batch_stats"],
+                         batch)
+        return float(jnp.sum(pred))
+
+    step_scalar()
 
     iters = 20
     start = time.perf_counter()
     for _ in range(iters):
-        pred = eval_step(variables["params"], variables["batch_stats"],
-                         batch)
-    jax.block_until_ready(pred)
+        step_scalar()
     elapsed = time.perf_counter() - start
 
     fps = batch_size * iters / elapsed

@@ -186,8 +186,6 @@ class DQDecoderLayer(nn.Module):
             (tgt_update, new_refs (B,Nq,3), refined_2d (B,V,Nq,2),
              projs_2d (B,V,Nq,2), class_prob (B,Q,2))
         """
-        import os as _os
-        _cutoff = int(_os.environ.get("MVG_LAYER_CUTOFF", "99"))
         B, Nq, C = tgt.shape
         V = view_data.num_views
         J = self.num_joints
@@ -197,12 +195,6 @@ class DQDecoderLayer(nn.Module):
         # (1) project query joints into all views
         ref_norm, ref_lvl, bounds = self.project_ref_points(
             reference_points, view_data, spatial_shapes)
-
-        if _cutoff <= 1:
-            z = jnp.sum(ref_norm) + jnp.sum(bounds)
-            return tgt + z.astype(tgt.dtype), reference_points, \
-                jnp.zeros((B, V, Nq, 2)), jnp.zeros((B, V, Nq, 2)), \
-                jnp.zeros((B, Nq // J, 2))
 
         # (1b) optional pre-attention over queries (off in live config)
         if self.init_self_attention:
@@ -229,12 +221,6 @@ class DQDecoderLayer(nn.Module):
         # zero features whose projection fell outside the image (:585-588)
         attn = attn * jnp.swapaxes(bounds, 0, 1)[..., None].astype(attn.dtype)
 
-        if _cutoff <= 2:
-            z = jnp.sum(attn)
-            return tgt + z.astype(tgt.dtype), reference_points, \
-                jnp.zeros((B, V, Nq, 2)), jnp.zeros((B, V, Nq, 2)), \
-                jnp.zeros((B, Nq // J, 2))
-
         # (3) fuse into query features
         tgt_update = self.update_feature(tgt, jnp.mean(attn, axis=0),
                                          query_pos, train)
@@ -255,10 +241,6 @@ class DQDecoderLayer(nn.Module):
                 raise ValueError(filter_method)
         mask_nq = jnp.repeat(query_mask, J, axis=1)  # (B, Nq)
 
-        if _cutoff <= 4:
-            return tgt_update, reference_points, \
-                jnp.zeros((B, V, Nq, 2)), jnp.zeros((B, V, Nq, 2)), class_prob
-
         # (5) per-view offsets + confidences
         out2d, conf_logits = OffsetNet(self.d_model,
                                        num_layers=self.pose_embed_layers,
@@ -270,10 +252,6 @@ class DQDecoderLayer(nn.Module):
         refined_abs = refined_norm * img_wh
         projs_abs = ref_norm_v * img_wh
         conf = jax.nn.softmax(conf_logits.astype(jnp.float32), axis=0)
-
-        if _cutoff <= 5:
-            return tgt_update, reference_points, \
-                jnp.swapaxes(refined_abs, 0, 1), jnp.swapaxes(projs_abs, 0, 1), class_prob
 
         # (6) triangulate (dense; masked-out queries use a safe fallback so
         # degenerate systems never poison gradients through where())

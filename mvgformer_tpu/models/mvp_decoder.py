@@ -1,0 +1,300 @@
+"""MvP baseline decoder + top model (regression-only, no triangulation).
+
+Rebuild of the vendored MvP stack the reference keeps alongside MVGFormer
+(SURVEY.md §1): MvPDecoderLayer / MvPDecoder
+(/root/reference/lib/models/mvp_decoder.py:49-325) and the
+MultiviewPosetransformer forward (multi_view_pose_transformer.py:312-488).
+Per layer: query self-attention -> project 3D refs (normalized, sigmoid
+space) into all views -> projective attention over every view at once ->
+bounds-masked multi-view feature fusion (fuse_view_feats variants,
+mvp_decoder.py:206-258) -> FFN; the 3D update is a per-layer pose_embed MLP
+added in inverse-sigmoid space (multi_view_pose_transformer.py:428-469).
+
+Note: the reference's 'cat_proj' fusion references an undefined
+`fuse_view_projction` module (a vendoring break — only 'mean' actually runs
+there); here the projection Dense is implemented so all documented fusion
+modes work.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mvgformer_tpu.config import Config
+from mvgformer_tpu.data.meta import Batch, ViewData
+from mvgformer_tpu.geometry.cameras import project_points
+from mvgformer_tpu.geometry.transforms import apply_affine, norm2absolute
+from mvgformer_tpu.models.mlp import MLP
+from mvgformer_tpu.models.mvgformer import inverse_sigmoid
+from mvgformer_tpu.models.pose_resnet import PoseResNet
+from mvgformer_tpu.ops.projattn import ProjAttn
+
+
+def with_pos_embed(x, pos):
+    return x if pos is None else x + pos
+
+
+class MvPDecoderLayer(nn.Module):
+    d_model: int = 256
+    d_ffn: int = 1024
+    dropout: float = 0.1
+    n_levels: int = 1
+    n_heads: int = 8
+    n_points: int = 8
+    img_size: Tuple[int, int] = (960, 512)
+    space_size: Tuple[float, ...] = (8000.0, 8000.0, 2000.0)
+    space_center: Tuple[float, ...] = (0.0, -500.0, 800.0)
+    detach_refpoints: bool = True
+    fuse_view_feats: str = "cat_proj"
+    n_views: int = 5
+    posembed_mode: str = "use_rayconv"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, reference_points_norm, src_views,
+                 spatial_shapes, view_data: ViewData,
+                 camera_ray_embeds: Optional[Sequence[jnp.ndarray]] = None,
+                 train: bool = False):
+        """
+        tgt/query_pos: (B, Nq, C); reference_points_norm: (B, Nq, 3) in the
+        normalized [0,1] grid space (the MvP path keeps refs normalized and
+        converts with norm2absolute before projecting,
+        mvp_decoder.py:154-157).
+        """
+        B, Nq, C = tgt.shape
+        V = view_data.num_views
+        img_wh = jnp.asarray(self.img_size, dtype=jnp.float32)
+
+        # --- query self-attention (mvp_decoder.py:119-126)
+        q = k = with_pos_embed(tgt, query_pos)
+        attn0 = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads, dtype=self.dtype,
+            name="self_attn")(q, k, tgt)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(
+            tgt + nn.Dropout(self.dropout, deterministic=not train,
+                             name="dropout2")(attn0))
+
+        # --- project normalized refs into all views (mvp_decoder.py:134-192)
+        refs = reference_points_norm
+        if self.detach_refpoints:
+            refs = jax.lax.stop_gradient(refs)
+        refs_abs = norm2absolute(refs.astype(jnp.float32),
+                                 self.space_size, self.space_center)
+        x = jnp.broadcast_to(refs_abs[:, None], (B, V, Nq, 3))
+        pix = project_points(x, view_data.cameras)
+        wh = view_data.centers * 2.0
+        bounds = ((pix[..., 0] >= 0) & (pix[..., 1] >= 0)
+                  & (pix[..., 0] < wh[..., 0:1])
+                  & (pix[..., 1] < wh[..., 1:2]))  # (B, V, Nq)
+        hi = jnp.max(wh)
+        pix = jnp.clip(pix, -1.0, hi)
+        net = apply_affine(pix, view_data.affine)
+        norm = net / img_wh  # (B, V, Nq, 2)
+        shapes = jnp.asarray(spatial_shapes, dtype=jnp.float32)
+        whl = shapes[:, ::-1]
+        ref_lvl = norm[..., None, :] * (whl / (whl - 1.0))
+
+        # --- projective attention over all views (mvp_decoder.py:196-200)
+        q_in = with_pos_embed(tgt, query_pos)
+        q_fold = jnp.broadcast_to(
+            q_in[None], (V, B, Nq, C)).reshape(V * B, Nq, C)
+        ref_fold = jnp.swapaxes(ref_lvl, 0, 1).reshape(
+            V * B, Nq, len(spatial_shapes), 2)
+        tgt2 = ProjAttn(d_model=self.d_model, n_levels=self.n_levels,
+                        n_heads=self.n_heads, n_points=self.n_points,
+                        posembed_mode=self.posembed_mode, dtype=self.dtype,
+                        name="proj_attn")(
+            q_fold, ref_fold, src_views, spatial_shapes,
+            camera_ray_embeds=camera_ray_embeds)
+        tgt2 = tgt2.reshape(V, B, Nq, C)
+        tgt2 = tgt2 * jnp.swapaxes(bounds, 0, 1)[..., None].astype(
+            tgt2.dtype)  # (V, B, Nq, C)
+
+        # --- multi-view fusion (mvp_decoder.py:206-258)
+        mode = self.fuse_view_feats
+        if mode == "mean":
+            fused = jnp.mean(tgt2, axis=0)
+        elif mode == "cat_proj":
+            cat = jnp.transpose(tgt2, (1, 2, 0, 3)).reshape(B, Nq, V * C)
+            fused = nn.Dense(self.d_model, dtype=self.dtype,
+                             name="fuse_view_projection")(cat)
+        elif mode == "sum_proj":
+            fused = nn.Dense(self.d_model, dtype=self.dtype,
+                             name="fuse_view_projection")(
+                jnp.sum(tgt2, axis=0))
+        elif mode == "attn_fuse_dot_prod":
+            # weights from dot(tgt2_v, tgt): softmax over views
+            logits = jnp.einsum("vbnc,bnc->vbn", tgt2.astype(jnp.float32),
+                                tgt.astype(jnp.float32))
+            aw = jax.nn.softmax(logits, axis=0)[..., None]
+            fused = jnp.sum(tgt2 * aw.astype(tgt2.dtype), axis=0)
+        elif mode == "attn_fuse_subtract":
+            aw = nn.Dense(1, dtype=self.dtype, name="attn_proj")(
+                tgt2 - tgt[None])
+            fused = jnp.sum(tgt2 * aw, axis=0)
+        else:
+            raise NotImplementedError(mode)
+
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(
+            tgt + nn.Dropout(self.dropout, deterministic=not train,
+                             name="dropout1")(fused))
+
+        # --- FFN (mvp_decoder.py:92-97)
+        x2 = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(tgt)
+        x2 = nn.Dropout(self.dropout, deterministic=not train,
+                        name="dropout3")(nn.relu(x2))
+        x2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(x2)
+        x2 = nn.Dropout(self.dropout, deterministic=not train,
+                        name="dropout4")(x2)
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt + x2)
+
+
+class MvPTransformer(nn.Module):
+    """The MvP baseline top model (regression decoder, sigmoid-space
+    iterative refinement; multi_view_pose_transformer.py:312-488)."""
+
+    cfg: Config
+
+    def setup(self):
+        dec = self.cfg.DECODER
+        dtype = (jnp.bfloat16
+                 if self.cfg.PARALLEL.COMPUTE_DTYPE == "bfloat16"
+                 else jnp.float32)
+        self.compute_dtype = dtype
+        self.num_joints = dec.num_keypoints
+        self.num_instance = dec.num_instance
+        self.use_feat_level = tuple(dec.use_feat_level)
+
+        resnet_blocks = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3),
+                         50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
+                         152: (3, 8, 36, 3)}[self.cfg.POSE_RESNET.NUM_LAYERS]
+        self.backbone = PoseResNet(
+            block_counts=resnet_blocks,
+            deconv_filters=tuple(self.cfg.POSE_RESNET.NUM_DECONV_FILTERS),
+            dtype=dtype, name="backbone")
+
+        emb_init = nn.initializers.normal(stddev=1.0)
+        self.joint_embedding = self.param(
+            "joint_embedding", emb_init,
+            (dec.num_keypoints, dec.d_model * 2))
+        self.instance_embedding = self.param(
+            "instance_embedding", emb_init,
+            (dec.num_instance, dec.d_model * 2))
+
+        layer_kwargs = dict(
+            d_model=dec.d_model, d_ffn=dec.dim_feedforward,
+            dropout=dec.dropout, n_levels=dec.num_feature_levels,
+            n_heads=dec.nhead, n_points=dec.dec_n_points,
+            img_size=tuple(self.cfg.NETWORK.IMAGE_SIZE),
+            space_size=tuple(self.cfg.MULTI_PERSON.SPACE_SIZE),
+            space_center=tuple(self.cfg.MULTI_PERSON.SPACE_CENTER),
+            detach_refpoints=dec.detach_refpoints_cameraprj_firstlayer,
+            fuse_view_feats=dec.fuse_view_feats,
+            n_views=self.cfg.DATASET.CAMERA_NUM,
+            posembed_mode=dec.projattn_posembed_mode,
+            dtype=dtype)
+        self.layers = [MvPDecoderLayer(name=f"layer_{i}", **layer_kwargs)
+                       for i in range(dec.num_decoder_layers)]
+        self.class_embeds = [
+            nn.Dense(2, dtype=dtype, name=f"class_embed_{i}")
+            for i in range(dec.num_decoder_layers)]
+        self.pose_embeds = [
+            MLP(dec.d_model, 3, dec.pose_embed_layer, dtype=dtype,
+                name=f"pose_embed_{i}")
+            for i in range(dec.num_decoder_layers)]
+        # query-adaptation heads (dq_transformer/mvp forward :404-417)
+        self.reference_feats = nn.Dense(dec.d_model, name="reference_feats")
+        self.reference_points_head = nn.Dense(3, name="reference_points")
+
+    def __call__(self, batch: Batch, train: bool = False):
+        dec = self.cfg.DECODER
+        B, V = batch.views.shape[:2]
+        imgs = jnp.swapaxes(batch.views, 0, 1).reshape(
+            (V * B,) + batch.views.shape[2:])
+        feats = self.backbone(imgs.astype(self.compute_dtype),
+                              use_feat_level=self.use_feat_level)[::-1]
+        spatial_shapes = tuple(
+            (int(f.shape[1]), int(f.shape[2])) for f in feats)
+
+        rays = None
+        if dec.projattn_posembed_mode == "use_rayconv":
+            from mvgformer_tpu.models.position_encoding import (
+                crop_intrinsics, get_rays)
+            from mvgformer_tpu.geometry.cameras import calib_matrix
+
+            K = calib_matrix(batch.view_data.cameras)
+            Kc = crop_intrinsics(K, batch.view_data.affine)
+            R = batch.view_data.cameras.R
+            # standard_T = -R @ T (x_cam = Rx + t convention)
+            Tst = -jnp.matmul(R, batch.view_data.cameras.T,
+                              precision=jax.lax.Precision.HIGHEST)
+            ray_levels = []
+            for f in feats:
+                h, w = int(f.shape[1]), int(f.shape[2])
+                r = get_rays(tuple(self.cfg.NETWORK.IMAGE_SIZE), h, w,
+                             Kc, R, Tst)  # (B, V, h, w, 3)
+                ray_levels.append(jnp.swapaxes(r, 0, 1).reshape(
+                    V * B, h * w, 3))
+            rays = jnp.concatenate(ray_levels, axis=1)
+        elif dec.projattn_posembed_mode == "use_2d_coordconv":
+            from mvgformer_tpu.models.position_encoding import get_2d_coords
+
+            coord_levels = []
+            for f in feats:
+                h, w = int(f.shape[1]), int(f.shape[2])
+                c2 = get_2d_coords(h, w).reshape(1, h * w, 2)
+                coord_levels.append(jnp.broadcast_to(
+                    c2, (V * B, h * w, 2)))
+            rays = jnp.concatenate(coord_levels, axis=1)
+
+        query_embeds = (self.joint_embedding[None]
+                        + self.instance_embedding[:, None]).reshape(
+            self.num_instance * self.num_joints, -1)
+        c = dec.d_model
+        query_pos = jnp.broadcast_to(
+            query_embeds[None, :, :c], (B, query_embeds.shape[0], c))
+        tgt = jnp.broadcast_to(
+            query_embeds[None, :, c:], (B, query_embeds.shape[0], c))
+
+        # query adaptation (multi_view_pose_transformer.py:404-417)
+        if dec.query_adaptation:
+            pooled = [jnp.mean(f, axis=(1, 2)) for f in feats]
+            pooled = jnp.concatenate(pooled, axis=-1).reshape(1, -1)
+            ref_feats = self.reference_feats(
+                pooled.astype(jnp.float32))[None]
+            refs = jax.nn.sigmoid(self.reference_points_head(
+                query_pos.astype(jnp.float32) + ref_feats))
+        else:
+            refs = jax.nn.sigmoid(self.reference_points_head(
+                query_pos.astype(jnp.float32)))
+
+        outs = []
+        out = tgt.astype(self.compute_dtype)
+        reference = refs
+        for lid, layer in enumerate(self.layers):
+            out = layer(out, query_pos.astype(self.compute_dtype),
+                        reference, feats, spatial_shapes, batch.view_data,
+                        camera_ray_embeds=rays, train=train)
+            # iterative inverse-sigmoid refinement
+            # (multi_view_pose_transformer.py:428-469)
+            delta = self.pose_embeds[lid](out).astype(jnp.float32)
+            reference_new = jax.nn.sigmoid(
+                delta + inverse_sigmoid(reference))
+            logits = self.class_embeds[lid](out).astype(jnp.float32)
+            class_prob = jax.nn.sigmoid(logits).reshape(
+                B, self.num_instance, self.num_joints, 2).mean(axis=2)
+            coords = norm2absolute(reference_new,
+                                   self.cfg.MULTI_PERSON.SPACE_SIZE,
+                                   self.cfg.MULTI_PERSON.SPACE_CENTER)
+            outs.append({
+                "pred_logits": inverse_sigmoid(class_prob),
+                "pred_poses": coords,
+            })
+            reference = jax.lax.stop_gradient(reference_new) \
+                if dec.detach_refpoints_cameraprj_firstlayer \
+                else reference_new
+        return outs

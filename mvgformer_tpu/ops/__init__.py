@@ -15,6 +15,7 @@ accumulation. Two implementations share one semantics contract:
 from mvgformer_tpu.ops.sampling import (
     bilinear_sample,
     deform_sample,
+    deform_sample_corner,
     flatten_feature_levels,
 )
 from mvgformer_tpu.ops.projattn import ProjAttn
@@ -22,6 +23,7 @@ from mvgformer_tpu.ops.projattn import ProjAttn
 __all__ = [
     "bilinear_sample",
     "deform_sample",
+    "deform_sample_corner",
     "flatten_feature_levels",
     "ProjAttn",
 ]

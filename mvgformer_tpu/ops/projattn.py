@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mvgformer_tpu.ops.sampling import bilinear_sample, deform_sample
+from mvgformer_tpu.ops.sampling import (bilinear_sample, deform_sample,
+    deform_sample_corner)
 
 
 def radial_offsets_bias_init(n_heads: int, n_levels: int, n_points: int):
@@ -52,6 +53,9 @@ class ProjAttn(nn.Module):
     n_heads: int = 8
     n_points: int = 8
     posembed_mode: str = "ablation_not_use_rayconv"
+    # 'corner' = fast exact 4-corner-table gather (default); 'simple' = the
+    # straightforward 4x row-gather reference implementation
+    sampling_impl: str = "corner"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -150,9 +154,11 @@ class ProjAttn(nn.Module):
         locations = (reference_points[:, :, None, :, None, :]
                      + offsets / normalizer[None, None, None, :, None, :])
 
-        out = deform_sample(value, spatial_shapes,
-                            locations.astype(jnp.float32),
-                            weights.astype(value.dtype))
+        sampler = (deform_sample_corner if self.sampling_impl == "corner"
+                   else deform_sample)
+        out = sampler(value, spatial_shapes,
+                      locations.astype(jnp.float32),
+                      weights.astype(value.dtype))
         out = nn.Dense(self.d_model, kernel_init=xavier, name="output_proj",
                        dtype=self.dtype)(out)
         return out

@@ -65,6 +65,84 @@ def bilinear_sample(value: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     return out
 
 
+def build_corner_tables(value: jnp.ndarray,
+                        spatial_shapes: Sequence[Tuple[int, int]]):
+    """Per-level zero-padded 4-corner tables for the fast gather path.
+
+    For each level, pad the (h, w) map by one zero pixel on every side and
+    build rows of the 4 bilinear corners [v[y,x], v[y,x+1], v[y+1,x],
+    v[y+1,x+1]] so one wide row-gather fetches a whole bilinear stencil
+    (XLA's TPU gather cost is per-slice, not per-byte, so 1 wide slice
+    beats 4 narrow ones ~3x; measured on v5e).
+
+    value: (N, Len_in, H, D) -> list of (N, H, (h+2)*(w+2), 4*D) tables.
+    """
+    N, Len_in, H, D = value.shape
+    tables = []
+    start = 0
+    for (h, w) in spatial_shapes:
+        v = jax.lax.dynamic_slice_in_dim(value, start, h * w, axis=1)
+        start += h * w
+        v = v.reshape(N, h, w, H, D)
+        v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+        hp, wp = h + 2, w + 2
+        c00 = v
+        c01 = jnp.pad(v[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0), (0, 0)))
+        c10 = jnp.pad(v[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+        c11 = jnp.pad(v[:, 1:, 1:],
+                      ((0, 0), (0, 1), (0, 1), (0, 0), (0, 0)))
+        tbl = jnp.stack([c00, c01, c10, c11], axis=-2)  # (N,hp,wp,H,4,D)
+        tbl = jnp.transpose(tbl, (0, 3, 1, 2, 4, 5)).reshape(
+            N, H, hp * wp, 4 * D)
+        tables.append(tbl)
+    return tables
+
+
+def deform_sample_corner(value: jnp.ndarray,
+                         spatial_shapes: Sequence[Tuple[int, int]],
+                         sampling_locations: jnp.ndarray,
+                         attention_weights: jnp.ndarray) -> jnp.ndarray:
+    """Fast exact deformable sampling via 4-corner tables.
+
+    Same contract as deform_sample; one (1, 4D) row-gather per sample
+    instead of four (1, D) gathers."""
+    N, Len_in, H, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    tables = build_corner_tables(value, spatial_shapes)
+
+    out = jnp.zeros((N, H, Lq, D), dtype=value.dtype)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        hp, wp = h + 2, w + 2
+        loc = sampling_locations[:, :, :, lvl]  # (N, Lq, H, P, 2)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(N, H, Lq * P)
+        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(N, H, Lq * P)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx = x - x0
+        ly = y - y0
+        # a sample "touches" the map iff its stencil overlaps [0,w)x[0,h);
+        # with the 1px zero pad, clamped padded indices are exact for all
+        # touching samples, and non-touching ones are masked to zero
+        touch = ((x > -1.0) & (x < w) & (y > -1.0) & (y < h))
+        xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, wp - 2)
+        yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, hp - 2)
+        idx = yi * wp + xi  # (N, H, Lq*P)
+        g = jnp.take_along_axis(tables[lvl], idx[..., None], axis=2)
+        g = g.reshape(N, H, Lq * P, 4, D)
+        wts = jnp.stack([
+            (1 - lx) * (1 - ly), lx * (1 - ly),
+            (1 - lx) * ly, lx * ly], axis=-1)  # (N, H, Lq*P, 4)
+        wts = wts * touch[..., None]
+        sampled = jnp.sum(g * wts[..., None].astype(g.dtype), axis=3)
+        aw = jnp.transpose(attention_weights[:, :, :, lvl],
+                           (0, 2, 1, 3)).reshape(N, H, Lq * P)
+        out = out + jnp.sum(
+            (sampled * aw[..., None]).reshape(N, H, Lq, P, D), axis=3)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(N, Lq, H * D)
+
+
 def deform_sample(value: jnp.ndarray,
                   spatial_shapes: Sequence[Tuple[int, int]],
                   sampling_locations: jnp.ndarray,

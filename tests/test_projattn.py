@@ -161,3 +161,45 @@ class TestProjAttnParity:
         got = np.asarray(params["params"]["sampling_offsets"]["bias"])
         want = np.asarray(radial_offsets_bias_init(4, 1, 3)(None, (24,)))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestCornerTableSampler:
+    """The fast 4-corner-table path must match the reference gather path
+    bit-for-bit (both exact bilinear with zero padding)."""
+
+    def test_matches_simple_impl(self, rng):
+        from mvgformer_tpu.ops.sampling import deform_sample_corner
+        value, locs, w = _random_inputs(rng, N=2, Lq=20, H=4, D=8, P=4)
+        a = np.asarray(deform_sample(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w)))
+        b = np.asarray(deform_sample_corner(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w)))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_matches_on_edges_and_outside(self, rng):
+        from mvgformer_tpu.ops.sampling import deform_sample_corner
+        value, locs, w = _random_inputs(rng, N=1, Lq=16, H=2, D=4, P=4)
+        # cluster samples at image borders and outside
+        locs = rng.uniform(-0.4, 1.4, size=locs.shape).astype(np.float32)
+        a = np.asarray(deform_sample(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w)))
+        b = np.asarray(deform_sample_corner(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w)))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match(self, rng):
+        from mvgformer_tpu.ops.sampling import deform_sample_corner
+        value, locs, w = _random_inputs(rng, N=1, Lq=6, H=2, D=4, P=3)
+
+        def loss(fn, v, l, a):
+            return jnp.sum(fn(v, SHAPES, l, a) ** 2)
+
+        ga = jax.grad(lambda v, l, a: loss(
+            lambda *x: deform_sample(*x), v, l, a), argnums=(0, 1, 2))(
+            jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+        gb = jax.grad(lambda v, l, a: loss(
+            lambda *x: deform_sample_corner(*x), v, l, a), argnums=(0, 1, 2))(
+            jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+        for x, y in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-4)
