@@ -32,6 +32,10 @@ def main():
     cfg.DECODER.num_instance = 1024
     cfg.DATASET.CAMERA_NUM = 5
     cfg.NETWORK.IMAGE_SIZE = [960, 512]
+    # inference fast path: layers 2-4 run on the top-128 person queries by
+    # layer-1 score (vs max ~10 people in Panoptic scenes); kept queries
+    # are bit-identical to the dense run (tests/test_model.py)
+    cfg.DECODER.inference_topk_queries = 128
 
     batch_size = 1
     model = MVGFormer(cfg=cfg)

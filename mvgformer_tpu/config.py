@@ -153,6 +153,12 @@ class DecoderConfig:
     use_ce_match: bool = False
     filter_query: bool = True
     loss_weight_init: float = 0.0
+    # TPU-native inference fast path (no reference equivalent): after the
+    # first decoder layer, keep only the top-K person queries by class
+    # score and run the remaining layers compacted (static shapes).
+    # Queries dropped here cannot re-enter, unlike the reference's
+    # zeroed-but-still-attending filtered queries; None disables.
+    inference_topk_queries: Optional[int] = None
 
 
 @dataclass

@@ -43,6 +43,7 @@ from mvgformer_tpu.geometry.cameras import (
     undistort_points,
 )
 from mvgformer_tpu.geometry.transforms import apply_affine
+from mvgformer_tpu.geometry.structural import structural_triangulate
 from mvgformer_tpu.geometry.triangulate import triangulate_dlt
 from mvgformer_tpu.models.mlp import MLP, OffsetNet
 from mvgformer_tpu.ops.projattn import ProjAttn
@@ -68,7 +69,11 @@ class DQDecoderLayer(nn.Module):
     init_self_attention: bool = False
     open_forward_ffn: bool = True
     posembed_mode: str = "ablation_not_use_rayconv"
-    triangulation_solver: str = "eigh"
+    triangulation_solver: str = "eigh"  # 'svd' | 'eigh' | 'st'
+    # target bone lengths (J-1,) for 'st' (structural triangulation);
+    # defaults are derived from the T-pose asset by the top model
+    st_bone_lengths: tuple = None
+    st_n_steps: int = 1
     bayesian_update: bool = False
     pose_embed_layers: int = 3
     dtype: jnp.dtype = jnp.float32
@@ -263,11 +268,27 @@ class DQDecoderLayer(nn.Module):
         orig_undist = undistort_points(orig, view_data.cameras, iter_num=5)
         proj_mats = projection_matrices(view_data.cameras, inv_trans=True)
 
-        pts = jnp.swapaxes(orig_undist, 1, 2)  # (B, Nq, V, 2)
-        conf_bqv = jnp.transpose(conf, (1, 2, 0))  # (B, Nq, V)
-        pm = jnp.broadcast_to(proj_mats[:, None], (B, Nq, V, 3, 4))
-        new_refs = triangulate_dlt(pm, pts, conf_bqv,
-                                   solver=self.triangulation_solver)
+        if self.triangulation_solver == "st":
+            # structural triangulation per person query
+            # (learnable_triangulate 'st', dq_decoder.py:463-468)
+            pts_p = jnp.swapaxes(orig_undist, 1, 2).reshape(
+                B * Q, J, V, 2).swapaxes(1, 2)  # (B*Q, V, J, 2)
+            conf_p = jnp.transpose(conf, (1, 2, 0)).reshape(
+                B * Q, J, V).swapaxes(1, 2)  # (B*Q, V, J)
+            pm_p = jnp.broadcast_to(
+                proj_mats[:, None], (B, Q, V, 3, 4)).reshape(B * Q, V, 3, 4)
+            lengths = jnp.broadcast_to(
+                jnp.asarray(self.st_bone_lengths, jnp.float32)[None],
+                (B * Q, J - 1))
+            new_refs = structural_triangulate(
+                pm_p, pts_p, conf_p, lengths,
+                n_steps=self.st_n_steps).reshape(B, Nq, 3)
+        else:
+            pts = jnp.swapaxes(orig_undist, 1, 2)  # (B, Nq, V, 2)
+            conf_bqv = jnp.transpose(conf, (1, 2, 0))  # (B, Nq, V)
+            pm = jnp.broadcast_to(proj_mats[:, None], (B, Nq, V, 3, 4))
+            new_refs = triangulate_dlt(pm, pts, conf_bqv,
+                                       solver=self.triangulation_solver)
 
         if self.bayesian_update:
             bconf = jax.nn.sigmoid(nn.Dense(
@@ -287,37 +308,94 @@ class DQDecoderLayer(nn.Module):
         return tgt_update, new_refs, refined_out, projs_out, class_prob
 
 
+def _take_queries(x: jnp.ndarray, sel: jnp.ndarray, num_joints: int,
+                  q_axis: int) -> jnp.ndarray:
+    """Gather per-query slices: x has a Q*J token axis at `q_axis`."""
+    Q_times_J = x.shape[q_axis]
+    Q = Q_times_J // num_joints
+    xq = jnp.moveaxis(x, q_axis, 1)
+    xq = xq.reshape((xq.shape[0], Q, num_joints) + xq.shape[2:])
+    taken = jnp.take_along_axis(
+        xq, sel.reshape(sel.shape + (1,) * (xq.ndim - 2)), axis=1)
+    taken = taken.reshape((taken.shape[0], -1) + taken.shape[3:])
+    return jnp.moveaxis(taken, 1, q_axis)
+
+
+def _scatter_queries(x: jnp.ndarray, sel: jnp.ndarray, num_queries: int,
+                     num_joints: int, q_axis: int) -> jnp.ndarray:
+    """Inverse of _take_queries: place compacted queries into dense zeros."""
+    xq = jnp.moveaxis(x, q_axis, 1)
+    B = xq.shape[0]
+    K = sel.shape[1]
+    xq = xq.reshape((B, K, num_joints) + xq.shape[2:])
+    dense = jnp.zeros((B, num_queries) + xq.shape[2:], dtype=x.dtype)
+    bidx = jnp.arange(B)[:, None]
+    dense = dense.at[bidx, sel].set(xq)
+    dense = dense.reshape((B, num_queries * num_joints) + xq.shape[3:])
+    return jnp.moveaxis(dense, 1, q_axis)
+
+
 class DQDecoder(nn.Module):
     """Stack of decoder layers collecting per-layer outputs
     (dq_decoder.py:1101-1172). Layers have independent weights unless
-    share_layer_weights (mvp_decoder.py:272-275)."""
+    share_layer_weights (mvp_decoder.py:272-275).
+
+    topk_queries (inference fast path, no reference equivalent): after the
+    first layer, keep the top-K queries by class score and run layers 2..N
+    compacted; outputs are scattered back to dense (dropped queries read as
+    zero poses / ~zero probability, matching how the reference's filtered
+    queries read in its dense outputs)."""
 
     num_layers: int = 4
     share_layer_weights: bool = False
+    num_joints: int = 15
     layer_kwargs: dict = None
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src_views,
                  spatial_shapes, view_data, query_mask=None, threshold=0.5,
-                 filter_method="threshold", train=False):
+                 filter_method="threshold", train=False, topk_queries=None):
         kw = dict(self.layer_kwargs or {})
+        J = self.num_joints
+        Q = tgt.shape[1] // J
         outputs = []
         refs = reference_points
         out = tgt
+        qpos = query_pos
+        qmask = query_mask
+        sel = None
         shared = (DQDecoderLayer(name="layer_shared", **kw)
                   if self.share_layer_weights else None)
         for lid in range(self.num_layers):
             layer = shared if shared is not None else DQDecoderLayer(
                 name=f"layer_{lid}", **kw)
             out, refs, ref2d, projs2d, class_prob = layer(
-                out, query_pos, refs, src_views, spatial_shapes, view_data,
-                query_mask=query_mask, threshold=threshold,
+                out, qpos, refs, src_views, spatial_shapes, view_data,
+                query_mask=qmask, threshold=threshold,
                 filter_method=filter_method, train=train)
-            outputs.append({
-                "hs": out,
-                "refs": refs,
-                "refs_2d": ref2d,
-                "projs_2d": projs2d,
-                "class_prob": class_prob,
-            })
+            if sel is None:
+                outputs.append({"hs": out, "refs": refs, "refs_2d": ref2d,
+                                "projs_2d": projs2d,
+                                "class_prob": class_prob})
+            else:
+                outputs.append({
+                    "hs": _scatter_queries(out, sel, Q, J, 1),
+                    "refs": _scatter_queries(refs, sel, Q, J, 1),
+                    "refs_2d": _scatter_queries(ref2d, sel, Q, J, 2),
+                    "projs_2d": _scatter_queries(projs2d, sel, Q, J, 2),
+                    "class_prob": _scatter_queries(class_prob, sel, Q, 1, 1),
+                })
+
+            use_topk = (topk_queries is not None and not train
+                        and sel is None and lid == 0
+                        and topk_queries < Q)
+            if use_topk:
+                scores = class_prob[..., 1]  # (B, Q)
+                _, sel = jax.lax.top_k(scores, topk_queries)
+                out = _take_queries(out, sel, J, 1)
+                refs = _take_queries(refs, sel, J, 1)
+                if qpos is not None:
+                    qpos = _take_queries(qpos, sel, J, 1)
+                if qmask is not None:
+                    qmask = jnp.take_along_axis(qmask, sel, axis=1)
         return outputs

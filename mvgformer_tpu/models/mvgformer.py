@@ -72,6 +72,16 @@ def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return jnp.log(x1 / x2)
 
 
+def _tpose_bone_lengths(t_pose: np.ndarray) -> np.ndarray:
+    """Default target bone lengths for structural triangulation, derived
+    from the T-pose asset (the reference loads them from an unshipped
+    bone_length.pth, lib/structural/adapter.py:46-50)."""
+    from mvgformer_tpu.geometry.structural import HumanTree
+
+    return HumanTree("cmupanoptic").bone_lengths(
+        t_pose[None]).reshape(-1).astype(np.float32)
+
+
 def sample_space_reference_points(num_instance: int, t_pose: np.ndarray,
                                   space_size, space_center) -> np.ndarray:
     """'sample_space' init (dq_transformer.py:298-323): ceil(sqrt(Q))^2 grid
@@ -127,6 +137,7 @@ class MVGFormer(nn.Module):
         self.decoder = DQDecoder(
             num_layers=dec.num_decoder_layers,
             share_layer_weights=dec.share_layer_weights,
+            num_joints=dec.num_keypoints,
             layer_kwargs=dict(
                 d_model=dec.d_model,
                 d_ffn=dec.dim_feedforward,
@@ -143,10 +154,14 @@ class MVGFormer(nn.Module):
                 posembed_mode=dec.projattn_posembed_mode,
                 # 'linalg'/'batch'/'default' (reference SVD variants) -> svd;
                 # 'eigh' is this framework's fast TPU option (4x4 Gram
-                # eigendecomposition; numerically looser on ill-conditioned
-                # queries, see geometry.triangulate)
+                # eigendecomposition); 'st' = structural triangulation with
+                # bone-length constraints (lib/structural)
                 triangulation_solver=(
-                    "eigh" if dec.triangulation_method == "eigh" else "svd"),
+                    dec.triangulation_method
+                    if dec.triangulation_method in ("eigh", "st")
+                    else "svd"),
+                st_bone_lengths=tuple(_tpose_bone_lengths(
+                    load_tpose(dec.t_pose_dir))),
                 bayesian_update=dec.bayesian_update,
                 pose_embed_layers=dec.pose_embed_layer,
                 dtype=dtype,
@@ -222,7 +237,8 @@ class MVGFormer(nn.Module):
             else query_pos.astype(self.compute_dtype),
             refs0, feats, spatial_shapes, batch.view_data,
             query_mask=query_mask, threshold=threshold,
-            filter_method=filter_method, train=train)
+            filter_method=filter_method, train=train,
+            topk_queries=dec.inference_topk_queries)
 
         cji = dec.convert_joint_format_indices
         outs = []

@@ -147,3 +147,62 @@ class TestLosses:
         expect = cost.argmin(axis=0)  # (M,)
         got = np.asarray(match.query_idx)[0, :, 0]
         np.testing.assert_array_equal(got[:n], expect[:n])
+
+
+class TestTopKCompaction:
+    def test_topk_matches_dense_for_kept_queries(self):
+        """With top-K compaction, kept queries' outputs must equal the dense
+        run exactly; dropped queries read as zeros."""
+        cfg = small_cfg()
+        model_dense = MVGFormer(cfg=cfg)
+        batch = make_batch(cfg, batch_size=2, seed=5, num_people=2)
+        variables = model_dense.init(jax.random.PRNGKey(0), batch)
+        outs_dense = model_dense.apply(variables, batch, threshold=0.0)
+
+        cfg2 = small_cfg()
+        cfg2.DECODER.inference_topk_queries = 6
+        model_topk = MVGFormer(cfg=cfg2)
+        outs_topk = model_topk.apply(variables, batch, threshold=0.0)
+
+        Q = cfg.DECODER.num_instance
+        J = cfg.DECODER.num_keypoints
+        score0 = np.asarray(
+            jax.nn.sigmoid(outs_dense[0]["pred_logits"][..., 1]))
+        for b in range(2):
+            kept = set(np.argsort(-score0[b])[:6].tolist())
+            dense = np.asarray(outs_dense[-1]["pred_poses"]).reshape(
+                2, Q, J, 3)[b]
+            topk = np.asarray(outs_topk[-1]["pred_poses"]).reshape(
+                2, Q, J, 3)[b]
+            for q in range(Q):
+                if q in kept:
+                    np.testing.assert_allclose(topk[q], dense[q],
+                                               rtol=1e-4, atol=1e-3)
+                else:
+                    np.testing.assert_array_equal(topk[q], 0)
+
+    def test_topk_ignored_in_training(self):
+        cfg = small_cfg()
+        cfg.DECODER.inference_topk_queries = 4
+        model = MVGFormer(cfg=cfg)
+        batch = make_batch(cfg, batch_size=1, seed=1, num_people=2)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        Q = cfg.DECODER.num_instance
+        mask = np.ones((1, Q), dtype=bool)
+        outs = model.apply(variables, batch, query_mask=jnp.asarray(mask),
+                           train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+        poses = np.asarray(outs[-1]["pred_poses"]).reshape(1, Q, -1)
+        # all queries active in training regardless of the topk knob
+        assert (np.abs(poses).sum(-1) > 0).sum() == Q
+
+
+def test_st_triangulation_method_runs():
+    """triangulation_method 'st' wires structural triangulation end-to-end."""
+    cfg = small_cfg(**{"DECODER.triangulation_method": "st",
+                       "DECODER.num_instance": 4})
+    model = MVGFormer(cfg=cfg)
+    batch = make_batch(cfg, batch_size=1, seed=0, num_people=2)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    outs = model.apply(variables, batch, threshold=0.0)
+    poses = np.asarray(outs[-1]["pred_poses"])
+    assert np.all(np.isfinite(poses))
