@@ -170,10 +170,18 @@ class MVGFormer(nn.Module):
         )
 
         t_pose = load_tpose(dec.t_pose_dir)
+        self.t_pose = jnp.asarray(t_pose)
         self.init_reference = jnp.asarray(sample_space_reference_points(
             dec.num_instance, t_pose,
             self.cfg.MULTI_PERSON.SPACE_SIZE,
             self.cfg.MULTI_PERSON.SPACE_CENTER))  # (Q*J, 3)
+
+        if dec.init_ref_method in ("query_adapt", "query_adapt_center"):
+            # query-adaptation heads (dq_transformer.py:204-210, 440-474)
+            self.reference_feats = nn.Dense(
+                dec.d_model, name="reference_feats")
+            self.reference_points_head = nn.Dense(
+                3, name="reference_points")
 
     def initial_reference_points(self, batch_size: int) -> jnp.ndarray:
         """(B, Q*J, 3) absolute-mm initial query poses."""
@@ -227,7 +235,44 @@ class MVGFormer(nn.Module):
                 query_embed[None], (B,) + query_embed.shape)
         tgt = jnp.broadcast_to(tgt[None], (B,) + tgt.shape)
 
-        refs0 = self.initial_reference_points(B)
+        # reference-point initialization (dq_transformer.py:250-333,440-474)
+        method = dec.init_ref_method
+        if method == "sample_space":
+            refs0 = self.initial_reference_points(B)
+        elif method == "gt_noise":
+            # debug init: gt poses + N(0, value) noise; padded query slots 0
+            assert batch.targets is not None
+            std = float(dec.init_ref_method_value or 100.0)
+            gt = batch.targets.joints_3d.astype(jnp.float32)  # (B, M, J, 3)
+            noise = std * jax.random.normal(
+                self.make_rng("init_ref"), gt.shape)
+            noisy = (gt + noise) * (
+                batch.targets.joints_3d_vis[..., None] > 0)
+            Bq = self.num_instance
+            M = gt.shape[1]
+            pad = jnp.zeros((B, Bq - M, gt.shape[2], 3))
+            refs0 = jnp.concatenate([noisy, pad], axis=1).reshape(B, -1, 3)
+        elif method in ("query_adapt", "query_adapt_center"):
+            pooled = jnp.concatenate(
+                [jnp.mean(f, axis=(1, 2)) for f in feats], axis=-1)
+            pooled = pooled.reshape(B, -1).astype(jnp.float32)
+            ref_feats = self.reference_feats(pooled)[:, None]  # (B, 1, C)
+            base = (tgt if query_pos is None else query_pos).astype(
+                jnp.float32)
+            if method == "query_adapt":
+                refs0 = self.reference_points_head(base + ref_feats)
+            else:
+                centers = self.reference_points_head(
+                    base.reshape(B, self.num_instance, self.num_joints, -1)
+                    .mean(axis=2) + ref_feats)  # (B, Q, 3)
+                refs0 = (centers[:, :, None, :]
+                         + self.t_pose[None, None]).reshape(B, -1, 3)
+        elif method == "voxcel_pose_base":
+            raise NotImplementedError(
+                "voxcel_pose_base requires voxelpose predictions in the "
+                "batch (reference dq_transformer.py:325-327)")
+        else:
+            raise ValueError(f"unknown init_ref_method: {method}")
 
         filter_method = (dec.query_filter_method if dec.filter_query
                          else "all")

@@ -206,3 +206,27 @@ def test_st_triangulation_method_runs():
     outs = model.apply(variables, batch, threshold=0.0)
     poses = np.asarray(outs[-1]["pred_poses"])
     assert np.all(np.isfinite(poses))
+
+
+class TestInitRefMethods:
+    @pytest.mark.parametrize("method", ["query_adapt", "query_adapt_center"])
+    def test_query_adapt(self, method):
+        cfg = small_cfg(**{"DECODER.init_ref_method": method})
+        model = MVGFormer(cfg=cfg)
+        batch = make_batch(cfg, batch_size=1, seed=0, num_people=2)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        assert "reference_feats" in variables["params"]
+        outs = model.apply(variables, batch, threshold=0.0)
+        assert np.all(np.isfinite(np.asarray(outs[-1]["pred_poses"])))
+
+    def test_gt_noise(self):
+        cfg = small_cfg(**{"DECODER.init_ref_method": "gt_noise",
+                           "DECODER.init_ref_method_value": 50.0})
+        model = MVGFormer(cfg=cfg)
+        batch = make_batch(cfg, batch_size=1, seed=0, num_people=2)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "init_ref": jax.random.PRNGKey(1)}, batch)
+        outs = model.apply(variables, batch, threshold=0.0,
+                           rngs={"init_ref": jax.random.PRNGKey(2)})
+        assert np.all(np.isfinite(np.asarray(outs[-1]["pred_poses"])))
