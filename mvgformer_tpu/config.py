@@ -72,8 +72,12 @@ class DatasetConfig:
     NMS_DETAIL: bool = True
     NMS_DETAIL_ALL: bool = False
     MAX_DATA_NUM: Optional[int] = None
-    # camera arrangement (CMU0 / CMU0ex / CMU1..4), reference panoptic.py:207-215
-    CAMERA_ARRANGEMENT: str = "CMU0"
+    # camera arrangements (CMU0 / CMU0ex / CMU1..4), panoptic.py:207-215
+    TRAIN_CAM_SEQ: str = "CMU0"
+    TEST_CAM_SEQ: str = "CMU0"
+    PESUDO_GT: str = ""
+    CAMERA_DETAIL: bool = False
+    ADD_VOXEL_PRED: bool = False
 
 
 @dataclass

@@ -242,7 +242,9 @@ class PanopticDataset(MultiViewDataset):
     def __init__(self, cfg: Config, image_set: str, is_train: bool,
                  max_frames: Optional[int] = None):
         super().__init__(cfg, image_set, is_train)
-        arrangement = cfg.DATASET.CAMERA_ARRANGEMENT
+        arrangement = (cfg.DATASET.TEST_CAM_SEQ
+                       if image_set == "validation"
+                       else cfg.DATASET.TRAIN_CAM_SEQ)
         self.cam_list = CAM_LIST[arrangement][:self.num_views]
         self.num_views = len(self.cam_list)
         self.dataset_root = osp.join(cfg.DATA_DIR, cfg.DATASET.ROOT)
@@ -476,3 +478,95 @@ def get_dataset(cfg: Config, image_set: str, is_train: bool):
     name = (cfg.DATASET.TRAIN_DATASET if is_train
             else cfg.DATASET.TEST_DATASET)
     return DATASETS[name](cfg, image_set, is_train)
+
+
+H36M_TO_PANOPTIC = [8, 9, 0, 11, 12, 13, 4, 5, 6, 14, 15, 16, 1, 2, 3]
+
+
+class H36MDataset(MultiViewDataset):
+    """Human3.6M single-person multi-view variant (lib/dataset/h36m.py):
+    annot/h36m_{set}.pkl entries grouped into full 4-view frames, camera-
+    frame joints converted to world, joints remapped to the Panoptic
+    15-joint order (H36M_TO_PANOPTIC, h36m.py:69), sparse frame sampling
+    (::5 train / ::64 eval, h36m.py:95-98)."""
+
+    IMAGE_WH = (1000, 1002)
+
+    def __init__(self, cfg: Config, image_set: str, is_train: bool):
+        super().__init__(cfg, image_set, is_train)
+        self.dataset_root = osp.join(cfg.DATA_DIR, cfg.DATASET.ROOT)
+        self.num_views = 4
+        self.frames = self._build_frames(image_set, is_train)
+
+    def _build_frames(self, image_set, is_train):
+        anno = osp.join(self.dataset_root, "annot",
+                        f"h36m_{image_set}.pkl")
+        if not osp.isfile(anno):
+            logger.warning("H36M annotations not found at %s", anno)
+            return []
+        with open(anno, "rb") as f:
+            db = pickle.load(f)
+
+        # group by (subject, action, subaction, image_id) across 4 cameras
+        groups = {}
+        for i, rec in enumerate(db):
+            s, a, sa = rec["subject"], rec["action"], rec["subaction"]
+            if s == 9 and ((a == 5 and sa == 2) or (a == 10 and sa == 2)
+                           or (a == 13 and sa == 1)):
+                continue  # damaged actions (h36m.py:192-197)
+            key = (s, a, sa, rec["image_id"])
+            groups.setdefault(key, [-1] * 4)[rec["camera_id"]] = i
+        grouping = [v for v in groups.values() if all(i >= 0 for i in v)]
+        grouping = grouping[::5] if is_train else grouping[::64]
+
+        import jax.numpy as jnp
+
+        from mvgformer_tpu.geometry.cameras import (CameraParams,
+                                                    camera_to_world)
+
+        frames = []
+        for views in grouping:
+            cams, images, poses_w = [], [], None
+            for idx in views:
+                rec = db[idx]
+                cam = rec["camera"]
+                R = np.asarray(cam["R"], np.float32)
+                T = np.asarray(cam["T"], np.float32).reshape(3, 1)
+                cams.append({
+                    "R": R, "T": T,
+                    "f": np.asarray([cam["fx"], cam["fy"]],
+                                    np.float32).reshape(-1)[:2],
+                    "c": np.asarray([cam["cx"], cam["cy"]],
+                                    np.float32).reshape(-1)[:2],
+                    "k": np.asarray(cam["k"], np.float32).reshape(-1)[:3],
+                    "p": np.asarray(cam["p"], np.float32).reshape(-1)[:2],
+                })
+                images.append(osp.join(self.dataset_root, "images",
+                                       rec["image"]))
+                if poses_w is None:
+                    # camera-frame joints -> world, Panoptic joint order
+                    cp = CameraParams(R=R, T=T, f=cams[-1]["f"],
+                                      c=cams[-1]["c"], k=cams[-1]["k"],
+                                      p=cams[-1]["p"])
+                    j3d = np.asarray(rec["joints_3d"], np.float32)
+                    world = np.asarray(camera_to_world(
+                        jnp.asarray(j3d[None]), cp))[0]
+                    poses_w = world[H36M_TO_PANOPTIC][None]  # (1, 15, 3)
+            frames.append({
+                "key": str(views),
+                "images": images,
+                "cameras": stack_cameras(cams),
+                "image_wh": np.tile(np.asarray(self.IMAGE_WH, np.float32),
+                                    (4, 1)),
+                "joints_3d": poses_w,
+                "joints_3d_vis": np.ones((1, self.num_joints), np.float32),
+                "joints_2d_vis": None,
+            })
+        return frames
+
+    def evaluate(self, preds):
+        gts = [f["joints_3d"] for f in self.frames[:len(preds)]]
+        return evaluate_ap_mpjpe(list(preds), gts)
+
+
+DATASETS["h36m"] = H36MDataset
