@@ -32,10 +32,12 @@ def main():
     cfg.DECODER.num_instance = 1024
     cfg.DATASET.CAMERA_NUM = 5
     cfg.NETWORK.IMAGE_SIZE = [960, 512]
-    # inference fast path: layers 2-4 run on the top-128 person queries by
+    # inference fast path: layers 2-4 run on the top-256 person queries by
     # layer-1 score (vs max ~10 people in Panoptic scenes); kept queries
-    # are bit-identical to the dense run (tests/test_model.py)
-    cfg.DECODER.inference_topk_queries = 128
+    # are bit-identical to the dense run (tests/test_model.py). 256 rather
+    # than 128: the K*J=1920 shape trips a Mosaic/XLA compiler fault on the
+    # current toolchain.
+    cfg.DECODER.inference_topk_queries = 256
 
     batch_size = 1
     model = MVGFormer(cfg=cfg)
