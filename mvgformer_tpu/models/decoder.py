@@ -174,7 +174,8 @@ class DQDecoderLayer(nn.Module):
                  query_mask: Optional[jnp.ndarray] = None,
                  threshold: float = 0.5,
                  filter_method: str = "threshold",
-                 train: bool = False):
+                 train: bool = False,
+                 triangulate_topk: Optional[int] = None):
         """
         Args:
             tgt:              (B, Nq, C) query features, Nq = Q * J.
@@ -246,6 +247,23 @@ class DQDecoderLayer(nn.Module):
                 raise ValueError(filter_method)
         mask_nq = jnp.repeat(query_mask, J, axis=1)  # (B, Nq)
 
+        # (4b) optional in-layer compaction (inference fast path): stages
+        # 5-7 (offsets, undistortion, triangulation) run only on the top-K
+        # queries by class score; results are scattered back to dense.
+        # The decoder reuses the same deterministic top_k for later layers.
+        sel = None
+        Qc, Nqc = Q, Nq
+        if (triangulate_topk is not None and not train
+                and triangulate_topk < Q):
+            _, sel = jax.lax.top_k(class_prob[..., 1], triangulate_topk)
+            Qc = triangulate_topk
+            Nqc = Qc * J
+            attn = jnp.swapaxes(_take_queries(
+                jnp.swapaxes(attn, 0, 1), sel, J, 2), 0, 1)
+            ref_norm = _take_queries(ref_norm, sel, J, 2)
+            mask_nq = _take_queries(mask_nq, sel, J, 1)
+            reference_points = _take_queries(reference_points, sel, J, 1)
+
         # (5) per-view offsets + confidences
         out2d, conf_logits = OffsetNet(self.d_model,
                                        num_layers=self.pose_embed_layers,
@@ -272,21 +290,22 @@ class DQDecoderLayer(nn.Module):
             # structural triangulation per person query
             # (learnable_triangulate 'st', dq_decoder.py:463-468)
             pts_p = jnp.swapaxes(orig_undist, 1, 2).reshape(
-                B * Q, J, V, 2).swapaxes(1, 2)  # (B*Q, V, J, 2)
+                B * Qc, J, V, 2).swapaxes(1, 2)  # (B*Qc, V, J, 2)
             conf_p = jnp.transpose(conf, (1, 2, 0)).reshape(
-                B * Q, J, V).swapaxes(1, 2)  # (B*Q, V, J)
+                B * Qc, J, V).swapaxes(1, 2)  # (B*Qc, V, J)
             pm_p = jnp.broadcast_to(
-                proj_mats[:, None], (B, Q, V, 3, 4)).reshape(B * Q, V, 3, 4)
+                proj_mats[:, None], (B, Qc, V, 3, 4)).reshape(
+                B * Qc, V, 3, 4)
             lengths = jnp.broadcast_to(
                 jnp.asarray(self.st_bone_lengths, jnp.float32)[None],
-                (B * Q, J - 1))
+                (B * Qc, J - 1))
             new_refs = structural_triangulate(
                 pm_p, pts_p, conf_p, lengths,
-                n_steps=self.st_n_steps).reshape(B, Nq, 3)
+                n_steps=self.st_n_steps).reshape(B, Nqc, 3)
         else:
-            pts = jnp.swapaxes(orig_undist, 1, 2)  # (B, Nq, V, 2)
-            conf_bqv = jnp.transpose(conf, (1, 2, 0))  # (B, Nq, V)
-            pm = jnp.broadcast_to(proj_mats[:, None], (B, Nq, V, 3, 4))
+            pts = jnp.swapaxes(orig_undist, 1, 2)  # (B, Nqc, V, 2)
+            conf_bqv = jnp.transpose(conf, (1, 2, 0))  # (B, Nqc, V)
+            pm = jnp.broadcast_to(proj_mats[:, None], (B, Nqc, V, 3, 4))
             new_refs = triangulate_dlt(pm, pts, conf_bqv,
                                        solver=self.triangulation_solver)
 
@@ -304,6 +323,10 @@ class DQDecoderLayer(nn.Module):
                                 jnp.swapaxes(refined_abs, 0, 1), 0.0)
         projs_out = jnp.where(mask_nq[:, None, :, None],
                               jnp.swapaxes(projs_abs, 0, 1), 0.0)
+        if sel is not None:
+            new_refs = _scatter_queries(new_refs, sel, Q, J, 1)
+            refined_out = _scatter_queries(refined_out, sel, Q, J, 2)
+            projs_out = _scatter_queries(projs_out, sel, Q, J, 2)
 
         return tgt_update, new_refs, refined_out, projs_out, class_prob
 
@@ -372,7 +395,8 @@ class DQDecoder(nn.Module):
             out, refs, ref2d, projs2d, class_prob = layer(
                 out, qpos, refs, src_views, spatial_shapes, view_data,
                 query_mask=qmask, threshold=threshold,
-                filter_method=filter_method, train=train)
+                filter_method=filter_method, train=train,
+                triangulate_topk=(topk_queries if lid == 0 else None))
             if sel is None:
                 outputs.append({"hs": out, "refs": refs, "refs_2d": ref2d,
                                 "projs_2d": projs2d,
