@@ -1,0 +1,36 @@
+"""End-to-end CLI smoke: train.py + validate.py on the synthetic dataset."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, *args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "run", script),
+         "--cfg", os.path.join(REPO, "configs/synthetic_smoke.yaml"),
+         *args],
+        capture_output=True, text=True, cwd=REPO, timeout=480, env=env)
+
+
+@pytest.mark.slow
+def test_train_cli_smoke(tmp_path):
+    res = _run("train.py", "--max_steps", "2",
+               f"OUTPUT_DIR={tmp_path}")
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "eval epoch 0" in res.stderr or "eval epoch 0" in res.stdout
+
+
+@pytest.mark.slow
+def test_validate_cli_smoke(tmp_path):
+    res = _run("validate.py", f"OUTPUT_DIR={tmp_path}")
+    assert res.returncode == 0, res.stderr[-2000:]
+    combined = res.stderr + res.stdout
+    assert "mpjpe" in combined
