@@ -56,6 +56,11 @@ def sigmoid_focal_loss(logits, targets, alpha=0.25, gamma=2.0):
     return loss
 
 
+# Panoptic 15-joint limb pairs (lib/core/loss.py:152-154)
+LIMBS15 = ((0, 1), (0, 2), (0, 3), (3, 4), (4, 5), (0, 9), (9, 10),
+           (10, 11), (2, 6), (2, 12), (6, 7), (7, 8), (12, 13), (13, 14))
+
+
 def _gather_pairs(x: jnp.ndarray, query_idx: jnp.ndarray) -> jnp.ndarray:
     """Gather per-query tensors at matched pairs.
 
@@ -120,13 +125,63 @@ def compute_layer_losses(cfg: Config,
     losses["cardinality_error"] = jnp.mean(
         jnp.abs(card_pred - targets.num_person.astype(jnp.float32)))
 
-    # ------------------------------------------------ per-joint 3D L1
+    # ------------------------------------------------ per-joint 3D loss
     pred = out["pred_poses"].astype(jnp.float32).reshape(B, Q, J, 3)
     src = _gather_pairs(pred, match.query_idx)  # (B, M, K, J, 3)
     vis3d = targets.joints_3d_vis.astype(jnp.float32)  # (B, M, J)
     w3 = (vis3d[:, :, None, :, None] * pair_w[..., None, None])
-    diff = jnp.abs(src - gt[:, :, None]) * w3
-    losses["loss_pose_perjoint"] = jnp.sum(diff) / (num_samples * J * 3)
+    d = src - gt[:, :, None]
+    joint_type = dec.loss_joint_type
+    if joint_type == "l1":
+        losses["loss_pose_perjoint"] = jnp.sum(
+            jnp.abs(d) * w3) / (num_samples * J * 3)
+    elif joint_type == "l2":
+        losses["loss_pose_perjoint"] = jnp.sum(
+            (d * w3) ** 2) / (num_samples * J * 3)
+    elif joint_type == "mpjpe":
+        # per-pair visibility-weighted mean euclidean error, summed over
+        # pairs / num_samples (lib/core/loss.py:101-105)
+        dist = jnp.sqrt(jnp.sum(d ** 2, axis=-1) + 1e-12)
+        wj = vis3d[:, :, None, :] * pair_w[..., None]
+        per_pair = jnp.sum(dist * wj, axis=-1) / jnp.maximum(
+            jnp.sum(wj, axis=-1), 1e-5)
+        losses["loss_pose_perjoint"] = jnp.sum(
+            per_pair * pair_w) / num_samples
+    else:
+        raise ValueError(joint_type)
+
+    # ------------------------------------------------ per-bone L1 (opt)
+    if dec.use_loss_pose_perbone and J == 15:
+        la = jnp.asarray([a for a, _ in LIMBS15])
+        lb = jnp.asarray([b for _, b in LIMBS15])
+        bone_src = src[..., la, :] - src[..., lb, :]
+        bone_gt = (gt[..., la, :] - gt[..., lb, :])[:, :, None]
+        wb = (vis3d[..., la] * vis3d[..., lb])[:, :, None, :, None] \
+            * pair_w[..., None, None]
+        losses["loss_pose_perbone"] = jnp.sum(
+            jnp.abs(bone_src - bone_gt) * wb) / (
+            num_samples * len(LIMBS15) * 3)
+
+    # ------------------------------ 3D-projected reprojection L1 (opt)
+    if dec.use_loss_pose_perprojection:
+        # project BOTH pred and gt into each camera, original-image coords
+        # (PerProjectionL1Loss, lib/core/loss.py:197-242)
+        M_, Kk = match.gt_valid.shape[1], match.query_idx.shape[-1]
+        src_flat = jnp.broadcast_to(
+            src.reshape(B, 1, M_ * Kk * J, 3),
+            (B, V, M_ * Kk * J, 3))
+        gt_flat = jnp.broadcast_to(
+            gt.reshape(B, 1, M_ * J, 3), (B, V, M_ * J, 3))
+        proj_src = project_points(src_flat, vd.cameras).reshape(
+            B, V, M_, Kk, J, 2)
+        proj_gt3 = project_points(gt_flat, vd.cameras).reshape(
+            B, V, M_, 1, J, 2)
+        wp = (vd.joints_vis_2d[:, :, :, None, :, None]  # (B,V,M,1,J,1)
+              * pair_w[:, None, :, :, None, None])
+        dp = jnp.abs(proj_src - proj_gt3) * wp
+        loss_pp = jnp.sum(dp) / (num_samples * V * J * 2)
+        losses["loss_pose_perprojection"] = jnp.where(
+            loss_pp > 1e5, 0.0, loss_pp)
 
     # ------------------------------------------------ 2D reprojection L1
     if dec.use_loss_pose_perprojection_2d and "pred_poses_2d" in out:

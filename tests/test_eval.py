@@ -115,3 +115,67 @@ class TestPCP:
                                                      num_actors=3)
         assert actor_pcp[0] == pytest.approx(1.0)
         assert actor_pcp[2] == 0.0
+
+
+class TestExtendedLosses:
+    def _setup(self):
+        import jax
+        from mvgformer_tpu.core.criterion import compute_losses, \
+            match_queries
+        from mvgformer_tpu.data.synthetic import make_batch
+        from mvgformer_tpu.models.mvgformer import MVGFormer
+        from test_model import small_cfg
+        return jax, compute_losses, match_queries, make_batch, MVGFormer, \
+            small_cfg
+
+    @pytest.mark.parametrize("joint_type", ["l1", "l2", "mpjpe"])
+    def test_joint_loss_types(self, joint_type):
+        jax, compute_losses, match_queries, make_batch, MVGFormer, \
+            small_cfg = self._setup()
+        cfg = small_cfg(**{"DECODER.loss_joint_type": joint_type,
+                           "DECODER.use_loss_pose_perbone": True,
+                           "DECODER.use_loss_pose_perprojection": True})
+        model = MVGFormer(cfg=cfg)
+        batch = make_batch(cfg, batch_size=1, seed=0, num_people=2)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        match = match_queries(
+            cfg, model.bind(variables).initial_reference_points(1), batch)
+        outs = model.apply(variables, batch, query_mask=match.query_mask)
+        losses = compute_losses(cfg, outs, batch, match)
+        for key in ("loss_pose_perjoint", "loss_pose_perbone",
+                    "loss_pose_perprojection", "total"):
+            v = float(np.asarray(losses[key]))
+            assert np.isfinite(v) and v >= 0, (key, v)
+
+    def test_perfect_prediction_zero_loss(self):
+        """Per-joint/bone/projection losses vanish when predictions equal
+        the matched gt."""
+        jax, compute_losses, match_queries, make_batch, MVGFormer, \
+            small_cfg = self._setup()
+        import jax.numpy as jnp
+        # K=1 so each gt matches a distinct nearest query (duplicate
+        # matches would rightly make the loss nonzero)
+        cfg = small_cfg(**{"DECODER.use_loss_pose_perbone": True,
+                           "DECODER.use_loss_pose_perprojection": True,
+                           "DECODER.match_method_value": 1})
+        batch = make_batch(cfg, batch_size=1, seed=1, num_people=2)
+        model = MVGFormer(cfg=cfg)
+        match = match_queries(
+            cfg, MVGFormer(cfg=cfg).initial_reference_points_static(1),
+            batch)
+        Q, J = cfg.DECODER.num_instance, cfg.DECODER.num_keypoints
+        # construct outputs equal to matched gt
+        gt = np.asarray(batch.targets.joints_3d)  # (1, M, J, 3)
+        pred = np.zeros((1, Q, J, 3), np.float32)
+        qidx = np.asarray(match.query_idx)
+        for m in range(qidx.shape[1]):
+            for k in range(qidx.shape[2]):
+                pred[0, qidx[0, m, k]] = gt[0, m]
+        fake_out = {
+            "pred_logits": jnp.full((1, Q, 2), -10.0),
+            "pred_poses": jnp.asarray(pred.reshape(1, Q * J, 3)),
+        }
+        losses = compute_losses(cfg, [fake_out], batch, match)
+        assert float(losses["loss_pose_perjoint"]) < 1e-4
+        assert float(losses["loss_pose_perbone"]) < 1e-4
+        assert float(losses["loss_pose_perprojection"]) < 1e-2
