@@ -168,7 +168,10 @@ class TestExtendedLosses:
         gt = np.asarray(batch.targets.joints_3d)  # (1, M, J, 3)
         pred = np.zeros((1, Q, J, 3), np.float32)
         qidx = np.asarray(match.query_idx)
+        valid = np.asarray(match.gt_valid)
         for m in range(qidx.shape[1]):
+            if not valid[0, m]:
+                continue  # padded gt slots still carry (masked) indices
             for k in range(qidx.shape[2]):
                 pred[0, qidx[0, m, k]] = gt[0, m]
         fake_out = {
