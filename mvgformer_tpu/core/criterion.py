@@ -227,10 +227,39 @@ def layer_decay_weights(method: str, num_layers: int) -> jnp.ndarray:
     raise ValueError(method)
 
 
+def match_outputs(cfg: Config, out: Dict[str, jnp.ndarray],
+                  batch: Batch) -> MatchResult:
+    """DETR-style per-layer matching on the layer's own outputs
+    (gt_match=False path: SetCriterion.forward matches outputs when no
+    origin is given, multi_view_pose_transformer.py:827-830). Cost =
+    cost_class * focal-class + cost_pose * 0.01 * L1 (matcher.py:150-175);
+    KNN uses the pose-only cost like the reference (matcher.py:190-195)."""
+    from mvgformer_tpu.models.matcher import (focal_class_cost, knn_match,
+                                              pose_l1_cost, threshold_match)
+
+    dec = cfg.DECODER
+    gt = batch.targets.joints_3d.astype(jnp.float32)
+    B, M, J, _ = gt.shape
+    pred = out["pred_poses"].astype(jnp.float32).reshape(B, -1, J, 3)
+    cost_pose = pose_l1_cost(pred, gt)
+    if dec.match_method == "KNN":
+        return knn_match(cost_pose, batch.targets.num_person,
+                         int(dec.match_method_value))
+    if dec.match_method == "multiple":
+        return threshold_match(cost_pose, batch.targets.num_person,
+                               float(dec.match_method_value),
+                               k_cap=max(int(dec.num_instance // 8), 8))
+    # full cost (class + pose) exists for the Hungarian host path; traced
+    # training supports the KNN/multiple methods the shipped configs use
+    raise NotImplementedError(
+        f"match_method {dec.match_method} on outputs is host-side")
+
+
 def compute_losses(cfg: Config,
                    layer_outputs: List[Dict[str, jnp.ndarray]],
                    batch: Batch,
-                   match: MatchResult,
+                   match: Optional[MatchResult],
+                   init_reference: Optional[jnp.ndarray] = None,
                    axis_name: Optional[str] = None,
                    num_replicas: int = 1) -> Dict[str, jnp.ndarray]:
     """Decay-weighted per-layer criterion + total weighted loss.
@@ -252,8 +281,12 @@ def compute_losses(cfg: Config,
         num_replicas = jax.lax.psum(1, axis_name)
     num_samples = jnp.maximum(num, jnp.float32(num_replicas))
 
-    per_layer = [compute_layer_losses(cfg, out, batch, match, num_samples)
-                 for out in layer_outputs]
+    # gt_match=True: one fixed match from the initial query grid; otherwise
+    # DETR-style per-layer matching on each layer's outputs
+    per_layer = [compute_layer_losses(
+        cfg, out, batch,
+        match if match is not None else match_outputs(cfg, out, batch),
+        num_samples) for out in layer_outputs]
     weights = layer_decay_weights(dec.decay_method, len(per_layer))
 
     summed: Dict[str, jnp.ndarray] = {}
@@ -263,7 +296,19 @@ def compute_losses(cfg: Config,
             summed[key] = jnp.mean(vals)
         else:
             summed[key] = jnp.sum(weights * vals)
-    summed["loss_init"] = jnp.zeros(())
+    # init loss (dq_transformer.py:718-729): per-joint loss on the initial
+    # reference points with their own output matching; active only when
+    # gt_match is off and loss_weight_init > 0
+    if (dec.loss_weight_init > 0 and match is None
+            and init_reference is not None):
+        init_out = {"pred_logits": layer_outputs[0]["pred_logits"],
+                    "pred_poses": init_reference}
+        init_match = match_outputs(cfg, init_out, batch)
+        init_losses = compute_layer_losses(cfg, init_out, batch, init_match,
+                                           num_samples)
+        summed["loss_init"] = init_losses["loss_pose_perjoint"]
+    else:
+        summed["loss_init"] = jnp.zeros(())
 
     weight_dict = {
         "loss_ce": dec.loss_weight_loss_ce,

@@ -115,22 +115,29 @@ def make_train_step(cfg: Config, model: MVGFormer,
     (SURVEY.md §7 design delta 6).
     """
 
-    def loss_fn(params, batch_stats, batch, match, rng):
+    gt_match = cfg.DECODER.gt_match
+
+    def loss_fn(params, batch_stats, batch, match, init_refs, rng):
         outs = model.apply(
             {"params": params, "batch_stats": batch_stats}, batch,
-            query_mask=match.query_mask if cfg.DECODER.gt_match else None,
+            query_mask=match.query_mask if gt_match else None,
             train=True, rngs={"dropout": rng})
-        losses = compute_losses(cfg, outs, batch, match,
+        losses = compute_losses(cfg, outs, batch,
+                                match if gt_match else None,
+                                init_reference=init_refs,
                                 num_replicas=num_replicas)
         return losses["total"], losses
 
     def train_step(state: TrainState, batch: Batch, rng):
         init_refs = model.initial_reference_points_static(
             batch.views.shape[0])
+        # gt-match on the initial query grid (dq_transformer.py:496-524);
+        # with gt_match off the criterion re-matches per layer instead and
+        # this result is unused (it is cheap and keeps one code path)
         match = match_queries(cfg, init_refs, batch)
         (_, losses), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
-                                   batch, match, rng)
+                                   batch, match, init_refs, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,

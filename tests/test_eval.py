@@ -182,3 +182,25 @@ class TestExtendedLosses:
         assert float(losses["loss_pose_perjoint"]) < 1e-4
         assert float(losses["loss_pose_perbone"]) < 1e-4
         assert float(losses["loss_pose_perprojection"]) < 1e-2
+
+
+def test_detr_style_matching_without_gt_match():
+    """gt_match=False: per-layer matching on outputs + init loss."""
+    import jax
+    import jax.numpy as jnp
+    from mvgformer_tpu.core.criterion import compute_losses
+    from mvgformer_tpu.data.synthetic import make_batch
+    from mvgformer_tpu.models.mvgformer import MVGFormer
+    from test_model import small_cfg
+
+    cfg = small_cfg(**{"DECODER.gt_match": False,
+                       "DECODER.loss_weight_init": 1.0})
+    model = MVGFormer(cfg=cfg)
+    batch = make_batch(cfg, batch_size=1, seed=0, num_people=2)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    outs = model.apply(variables, batch, threshold=0.0)
+    init_ref = model.initial_reference_points_static(1)
+    losses = compute_losses(cfg, outs, batch, match=None,
+                            init_reference=init_ref)
+    assert np.isfinite(float(losses["total"]))
+    assert float(losses["loss_init"]) > 0
