@@ -1,0 +1,151 @@
+"""Debug visualization: 3D skeletons, 2D overlays, attention points.
+
+Rebuild of the reference's visualization hooks
+(/root/reference/lib/utils/vis.py: visualize_proj_attention :82-202,
+save_ref_points_with_gt :202-283, batch joint images :349-448) as
+standalone host-side helpers operating on this framework's arrays. Enabled
+the same way: set DEBUG.VISUALIZATION_JUMP_NUM >= 0 and pass an output dir
+to the eval loop, or call these directly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from mvgformer_tpu.data.meta import IMAGE_MEAN, IMAGE_STD
+from mvgformer_tpu.data.synthetic import LIMBS15
+
+
+def _ax3d():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(8, 8))
+    return fig, fig.add_subplot(111, projection="3d")
+
+
+def _draw_skeleton_3d(ax, pose, color, alpha=1.0, limbs=LIMBS15):
+    pose = np.asarray(pose)
+    ax.scatter(pose[:, 0], pose[:, 1], pose[:, 2], c=color, s=8,
+               alpha=alpha)
+    for a, b in limbs:
+        if a < len(pose) and b < len(pose):
+            ax.plot(*np.stack([pose[a], pose[b]], axis=1), c=color,
+                    alpha=alpha, linewidth=1)
+
+
+def save_3d_poses(path: str, pred_poses, gt_poses=None,
+                  pred_color="b", gt_color="g", pred_alpha=0.7,
+                  axis_range_mm: Optional[np.ndarray] = None):
+    """3D scatter of predicted skeletons vs gt (save_ref_points_with_gt,
+    vis.py:202-283). pred_poses/gt_poses: (N, J, 3) arrays (mm)."""
+    import matplotlib.pyplot as plt
+
+    fig, ax = _ax3d()
+    for pose in np.asarray(pred_poses):
+        _draw_skeleton_3d(ax, pose, pred_color, pred_alpha)
+    if gt_poses is not None:
+        for pose in np.asarray(gt_poses):
+            _draw_skeleton_3d(ax, pose, gt_color, 1.0)
+    if axis_range_mm is not None:
+        r = np.asarray(axis_range_mm)
+        ax.set_xlim(r[0]); ax.set_ylim(r[1]); ax.set_zlim(r[2])
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+
+
+def denormalize_image(img: np.ndarray) -> np.ndarray:
+    """(H, W, 3) normalized float -> uint8 RGB."""
+    out = np.asarray(img) * IMAGE_STD + IMAGE_MEAN
+    return np.clip(out * 255.0, 0, 255).astype(np.uint8)
+
+
+def save_2d_overlay(path: str, image, joints_2d, joints_vis=None,
+                    refined_2d=None, limbs=LIMBS15, draw_lines=True):
+    """One view image with projected (and optionally refined) 2D joints
+    (visualize_proj_attention / save_batch_image_with_joints_multi).
+
+    image: (H, W, 3) normalized; joints_2d: (N, J, 2) net-image px."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(10, 6))
+    ax.imshow(denormalize_image(image))
+    joints_2d = np.asarray(joints_2d)
+    for n, pose in enumerate(joints_2d):
+        vis = (np.asarray(joints_vis)[n] if joints_vis is not None
+               else np.ones(len(pose)))
+        ax.scatter(pose[vis > 0, 0], pose[vis > 0, 1], s=10, c="lime")
+        if draw_lines:
+            for a, b in limbs:
+                if a < len(pose) and b < len(pose) \
+                        and vis[a] > 0 and vis[b] > 0:
+                    ax.plot([pose[a, 0], pose[b, 0]],
+                            [pose[a, 1], pose[b, 1]], c="lime",
+                            linewidth=1)
+    if refined_2d is not None:
+        for pose in np.asarray(refined_2d):
+            ax.scatter(pose[:, 0], pose[:, 1], s=10, c="red", marker="x")
+    ax.set_axis_off()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+
+
+def save_view_grid(path: str, views, poses_2d_per_view=None):
+    """All views of one frame in a grid with optional 2D joints.
+    views: (V, H, W, 3) normalized."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    views = np.asarray(views)
+    V = len(views)
+    cols = min(V, 3)
+    rows = (V + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(5 * cols, 3.2 * rows))
+    axes = np.atleast_1d(axes).reshape(-1)
+    for v in range(V):
+        axes[v].imshow(denormalize_image(views[v]))
+        if poses_2d_per_view is not None:
+            for pose in np.asarray(poses_2d_per_view[v]):
+                axes[v].scatter(pose[:, 0], pose[:, 1], s=6, c="lime")
+        axes[v].set_axis_off()
+    for v in range(V, len(axes)):
+        axes[v].set_axis_off()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=90, bbox_inches="tight")
+    plt.close(fig)
+
+
+def visualize_frame(out_dir: str, frame_id: int, batch, pred,
+                    layer_outputs=None, batch_index: int = 0):
+    """One-call debug dump for a frame: 3D pred-vs-gt + per-view overlays
+    (the model-forward hook pattern, dq_transformer.py:613-651)."""
+    b = batch_index
+    views = np.asarray(batch.views[b])
+    gt = None
+    if batch.targets is not None:
+        n = int(np.asarray(batch.targets.num_person)[b])
+        gt = np.asarray(batch.targets.joints_3d)[b][:n]
+    kept = pred[pred[:, 0, 3] >= 0] if pred.ndim == 3 else pred
+    save_3d_poses(os.path.join(out_dir, f"{frame_id}_joints3d.png"),
+                  kept[:, :, :3], gt)
+    if layer_outputs is not None:
+        for lid, lo in enumerate(layer_outputs):
+            p2d = np.asarray(lo["pred_poses_2d"])[b]  # (V, Q*J, 2)
+            V = p2d.shape[0]
+            nz = [p2d[v].reshape(-1, kept.shape[1] if kept.size else 15, 2)
+                  for v in range(V)]
+            save_view_grid(
+                os.path.join(out_dir, f"{frame_id}_layer{lid}_views.png"),
+                views, None)

@@ -204,3 +204,26 @@ def test_detr_style_matching_without_gt_match():
                             init_reference=init_ref)
     assert np.isfinite(float(losses["total"]))
     assert float(losses["loss_init"]) > 0
+
+
+def test_visualization_savers(tmp_path):
+    from mvgformer_tpu.data.synthetic import make_batch, make_people
+    from mvgformer_tpu.utils.visualization import (
+        save_2d_overlay, save_3d_poses, save_view_grid, visualize_frame)
+    from test_model import small_cfg
+
+    cfg = small_cfg()
+    batch = make_batch(cfg, batch_size=1, seed=0, num_people=2, render=True)
+    people = make_people(2, seed=0)
+    save_3d_poses(str(tmp_path / "p3d.png"), people, people)
+    save_2d_overlay(str(tmp_path / "ov.png"),
+                    np.asarray(batch.views[0, 0]),
+                    np.random.rand(2, 15, 2) * 60)
+    save_view_grid(str(tmp_path / "grid.png"), np.asarray(batch.views[0]))
+    pred = np.zeros((4, 15, 5), np.float32)
+    pred[:2, :, 3] = 0
+    pred[2:, :, 3] = -1
+    pred[:, :, :3] = np.concatenate([people, people])
+    visualize_frame(str(tmp_path), 0, batch, pred)
+    for f in ("p3d.png", "ov.png", "grid.png", "0_joints3d.png"):
+        assert (tmp_path / f).exists(), f
