@@ -109,6 +109,31 @@ def stack_cameras(cams: Sequence[Dict[str, np.ndarray]]) -> CameraParams:
     )
 
 
+def _warp_normalize_cv2(img_rgb: np.ndarray, affine_2x3: np.ndarray,
+                        net_size: Tuple[int, int]) -> np.ndarray:
+    """cv2 warp + ImageNet normalize of one uint8 RGB image (the fallback
+    for the native runtime kernel)."""
+    import cv2
+
+    warped = cv2.warpAffine(img_rgb,
+                            np.asarray(affine_2x3, dtype=np.float32),
+                            (int(net_size[0]), int(net_size[1])),
+                            flags=cv2.INTER_LINEAR)
+    out = warped.astype(np.float32) / 255.0
+    return (out - IMAGE_MEAN) / IMAGE_STD
+
+
+def _load_image(path: str, color_rgb: bool = True) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+    if img is None:
+        raise FileNotFoundError(path)
+    if color_rgb:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return img
+
+
 def _load_and_warp_image(path: str, affine_2x3: np.ndarray,
                          net_size: Tuple[int, int],
                          color_rgb: bool = True) -> np.ndarray:
@@ -117,18 +142,8 @@ def _load_and_warp_image(path: str, affine_2x3: np.ndarray,
     Mirrors JointsDataset.__getitem__'s cv2 pipeline
     (lib/dataset/JointsDataset.py:97-116) + the ToTensor/Normalize transform
     (run/train_3d.py:196-203)."""
-    import cv2
-
-    img = cv2.imread(path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
-    if img is None:
-        raise FileNotFoundError(path)
-    if color_rgb:
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-    warped = cv2.warpAffine(img, np.asarray(affine_2x3, dtype=np.float32),
-                            (int(net_size[0]), int(net_size[1])),
-                            flags=cv2.INTER_LINEAR)
-    out = warped.astype(np.float32) / 255.0
-    return (out - IMAGE_MEAN) / IMAGE_STD
+    return _warp_normalize_cv2(_load_image(path, color_rgb), affine_2x3,
+                               net_size)
 
 
 class MultiViewDataset:
@@ -198,12 +213,26 @@ class MultiViewDataset:
                           num_person=targets.num_person)
 
         if load_images:
+            from mvgformer_tpu import runtime as native_runtime
+
             aff = np.asarray(view_data.affine)
-            views = np.stack([
-                np.stack([_load_and_warp_image(
-                    fr["images"][v], aff[b, v], self.net_size,
-                    self.cfg.DATASET.COLOR_RGB) for v in range(V)])
-                for b, fr in enumerate(frames)])
+            use_native = native_runtime.native_available()
+            sample_views = []
+            for b, fr in enumerate(frames):
+                if use_native:
+                    raw = np.stack([_load_image(fr["images"][v],
+                                                self.cfg.DATASET.COLOR_RGB)
+                                    for v in range(V)])
+                    sample_views.append(
+                        native_runtime.warp_normalize_views(
+                            raw, aff[b], self.net_size))
+                else:
+                    sample_views.append(np.stack(
+                        [_load_and_warp_image(
+                            fr["images"][v], aff[b, v], self.net_size,
+                            self.cfg.DATASET.COLOR_RGB)
+                         for v in range(V)]))
+            views = np.stack(sample_views)
         else:
             views = np.zeros((B, V, H, W, 3), dtype=np.float32)
         import jax.numpy as jnp
