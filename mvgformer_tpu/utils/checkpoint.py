@@ -74,6 +74,36 @@ def load_checkpoint(ckpt_dir: str, state_like, step: Optional[int] = None):
         payload["meta"]["precision"]
 
 
+class PreemptionGuard:
+    """Cooperative preemption handling (no reference equivalent — the
+    reference's recovery story is manual TRAIN.RESUME, SURVEY.md §5):
+    SIGTERM/SIGINT set a flag; the train loop checks `should_stop` at step
+    boundaries and checkpoints before exiting, so preempted TPU jobs resume
+    losslessly."""
+
+    def __init__(self):
+        import signal
+
+        self._stop = False
+        self._installed = False
+        try:
+            signal.signal(signal.SIGTERM, self._handler)
+            signal.signal(signal.SIGINT, self._handler)
+            self._installed = True
+        except ValueError:
+            pass  # not the main thread; polling still works via request()
+
+    def _handler(self, signum, frame):
+        self._stop = True
+
+    def request(self):
+        self._stop = True
+
+    @property
+    def should_stop(self) -> bool:
+        return self._stop
+
+
 def load_backbone_pretrained(path: str, variables: dict) -> dict:
     """Load a PoseResNet .pth.tar backbone pretrain into full-model
     variables (lib/utils/utils.py:152-188; final-layer is not part of this

@@ -42,7 +42,8 @@ def main():
     from mvgformer_tpu.data.datasets import get_dataset
     from mvgformer_tpu.models.mvgformer import MVGFormer
     from mvgformer_tpu.parallel import make_mesh, shard_batch
-    from mvgformer_tpu.utils.checkpoint import (load_backbone_pretrained,
+    from mvgformer_tpu.utils.checkpoint import (PreemptionGuard,
+                                                load_backbone_pretrained,
                                                 load_checkpoint,
                                                 save_checkpoint)
     from mvgformer_tpu.utils.logging import create_logger, MetricLogger
@@ -92,6 +93,7 @@ def main():
     eval_step = make_eval_step(cfg, model,
                                threshold=cfg.DECODER.inference_conf_thr[0])
 
+    guard = PreemptionGuard()
     total_steps = 0
     for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
         meter = MetricLogger()
@@ -109,6 +111,11 @@ def main():
                             meter.format())
             if args.max_steps and total_steps >= args.max_steps:
                 break
+            if guard.should_stop:
+                logger.info("preemption requested; checkpointing epoch %d",
+                            epoch)
+                save_checkpoint(ckpt_dir, state, epoch, best_precision)
+                return
 
         logger.info("epoch %d done in %.1fs | %s", epoch,
                     time.time() - t_epoch, meter.format())
