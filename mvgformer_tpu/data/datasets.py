@@ -297,6 +297,40 @@ class PanopticDataset(MultiViewDataset):
             except OSError:
                 pass
 
+        if cfg.DATASET.ADD_VOXEL_PRED:
+            self._attach_voxelpose_preds(cfg.DATASET.ADD_VOXEL_PRED)
+
+    def _attach_voxelpose_preds(self, pred_db_name) -> None:
+        """Attach per-frame VoxelPose predictions to the db
+        (panoptic.py:284-301): an auxiliary db pickle keyed like the main
+        one carries 'joints_3d_voxelpose_pred' arrays (M, J, 5) used by the
+        'voxcel_pose_base' reference-init method and db augmentation.
+        Missing entries forward-fill the previous frame's prediction."""
+        path = pred_db_name if osp.isfile(str(pred_db_name)) else osp.join(
+            self.dataset_root, str(pred_db_name))
+        if not osp.isfile(path):
+            logger.warning("voxelpose pred db not found: %s", path)
+            return
+        with open(path, "rb") as f:
+            ex_info = pickle.load(f)
+        ex_entries = (ex_info.get("db", ex_info)
+                      if isinstance(ex_info, dict) else ex_info)
+        by_key = {}
+        last = None
+        for item in ex_entries:
+            pred = item.get("joints_3d_voxelpose_pred") \
+                if isinstance(item, dict) else None
+            if isinstance(pred, np.ndarray):
+                last = pred
+            if isinstance(item, dict) and "key" in item:
+                by_key[item["key"]] = last
+        last = None
+        for frame in self.frames:
+            pred = by_key.get(frame["key"], None)
+            if isinstance(pred, np.ndarray):
+                last = pred
+            frame["joints_3d_voxelpose_pred"] = last
+
     def _load_cameras(self, seq: str) -> List[Dict[str, np.ndarray]]:
         cam_file = osp.join(self.dataset_root, seq,
                             f"calibration_{seq}.json")
