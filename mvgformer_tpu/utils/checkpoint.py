@@ -67,11 +67,10 @@ def load_checkpoint(ckpt_dir: str, state_like, step: Optional[int] = None):
         "meta": {"epoch": 0, "precision": 0.0, "is_best": False},
     }
     payload = mgr.restore(step, args=ocp.args.StandardRestore(template))
-    state = jax.tree_util.tree_map(
-        lambda like, got: type(like)(got) if hasattr(like, "dtype")
-        else got, state_like, payload["state"])
-    return payload["state"], payload["meta"]["epoch"], \
-        payload["meta"]["precision"]
+    import jax.numpy as jnp
+
+    state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
+    return state, payload["meta"]["epoch"], payload["meta"]["precision"]
 
 
 class PreemptionGuard:
