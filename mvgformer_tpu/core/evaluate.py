@@ -130,6 +130,66 @@ def evaluate_ap_mpjpe(preds, gt_joints, gt_vis=None,
     return out
 
 
+def evaluate_by_observability(preds, gt_joints, gt_vis2d_per_view,
+                              num_views: int,
+                              ob_percentiles=range(0, 100, 10),
+                              method: str = "score_sort"):
+    """Per-camera-observability AP breakdown (panoptic.py:577-703).
+
+    For each gt person, the observation count at percentile `th` is the
+    ceil(J*th/100)-th smallest per-joint view-visibility sum; gts (and
+    their matched predictions) are bucketed by that count and scored with
+    the full AP protocol per bucket.
+
+    gt_vis2d_per_view: per frame (V, G, J) arrays of 2D visibility.
+    Returns {(percentile, n_cameras): metrics-dict}.
+    """
+    eval_list, total_gt = build_eval_list(preds, gt_joints, method=method)
+
+    # per global gt id: sorted per-joint view-visibility counts
+    gt_obs_sorted: List[np.ndarray] = []
+    for vis_v in gt_vis2d_per_view:
+        vis_v = np.asarray(vis_v)  # (V, G, J)
+        if vis_v.size == 0:
+            continue
+        counts = np.sort(vis_v.sum(axis=0), axis=-1)  # (G, J) ascending
+        for g in range(counts.shape[0]):
+            gt_obs_sorted.append(counts[g])
+
+    num_joints = gt_obs_sorted[0].shape[0] if gt_obs_sorted else 15
+
+    def obs_num(gt_id: int, ob_th: int) -> int:
+        idx = int(np.ceil(num_joints * ob_th / 100))
+        idx = min(idx, num_joints - 1)
+        return int(gt_obs_sorted[gt_id][idx])
+
+    out = {}
+    for ob_th in ob_percentiles:
+        gt_buckets = [[] for _ in range(num_views + 1)]
+        pd_buckets = [[] for _ in range(num_views + 1)]
+        for gt_id in range(total_gt):
+            n = min(max(obs_num(gt_id, ob_th), 0), num_views)
+            gt_buckets[n].append(gt_id)
+        for item in eval_list:
+            n = min(max(obs_num(item["gt_id"], ob_th), 0), num_views)
+            pd_buckets[n].append(dict(item))
+        for n in range(1, num_views + 1):
+            if not gt_buckets[n]:
+                continue
+            metrics = {}
+            for t in np.arange(25, 155, 25):
+                ap, rec = eval_list_to_ap(pd_buckets[n],
+                                          len(gt_buckets[n]), t, method)
+                metrics[f"ap@{int(t)}"] = ap
+                metrics[f"recall@{int(t)}"] = rec
+            metrics["mpjpe"] = eval_list_to_mpjpe(pd_buckets[n],
+                                                  method=method)
+            metrics["num_gt"] = len(gt_buckets[n])
+            metrics["num_pred"] = len(pd_buckets[n])
+            out[(100 - ob_th, n)] = metrics
+    return out
+
+
 # Shelf/Campus PCP limbs over the 14-joint converted format
 # (shelf.py:272-273)
 PCP_LIMBS = [[0, 1], [1, 2], [3, 4], [4, 5], [6, 7],

@@ -227,3 +227,20 @@ def test_visualization_savers(tmp_path):
     visualize_frame(str(tmp_path), 0, batch, pred)
     for f in ("p3d.png", "ov.png", "grid.png", "0_joints3d.png"):
         assert (tmp_path / f).exists(), f
+
+
+def test_observability_breakdown():
+    from mvgformer_tpu.core.evaluate import evaluate_by_observability
+
+    people_a = make_people(1, seed=0)   # seen by all 3 cameras
+    people_b = make_people(1, seed=1)   # seen by only 1 camera
+    gts = [np.concatenate([people_a, people_b])]
+    preds = [_pred_from_people(gts[0])]
+    vis = np.ones((3, 2, 15), np.float32)
+    vis[1:, 1, :] = 0.0  # person b invisible in cameras 1, 2
+    out = evaluate_by_observability(preds, gts, [vis], num_views=3,
+                                    ob_percentiles=[0])
+    assert (100, 3) in out and (100, 1) in out
+    assert out[(100, 3)]["num_gt"] == 1
+    assert out[(100, 1)]["num_gt"] == 1
+    assert out[(100, 3)]["ap@25"] == pytest.approx(1.0, abs=1e-3)
