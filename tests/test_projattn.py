@@ -203,3 +203,17 @@ class TestCornerTableSampler:
         for x, y in zip(ga, gb):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestPallasKernel:
+    def test_matches_reference_impl_interpret(self, rng):
+        """Pallas corner-table kernel == jnp reference (interpret mode)."""
+        from mvgformer_tpu.ops.pallas_deform import deform_sample_pallas
+
+        value, locs, w = _random_inputs(rng, N=1, Lq=8, H=2, D=8, P=3)
+        a = np.asarray(deform_sample(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w)))
+        b = np.asarray(deform_sample_pallas(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w),
+            interpret=True))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
