@@ -349,6 +349,12 @@ def match_queries(cfg: Config, init_reference: jnp.ndarray,
         return threshold_match(cost, batch.targets.num_person,
                                float(dec.match_method_value),
                                k_cap=max(int(dec.num_instance // 8), 8))
-    raise NotImplementedError(
-        f"match_method {dec.match_method} is host-side (use "
-        f"models.matcher.hungarian_match_host outside the step)")
+    if dec.match_method in ("hungarian", "hungarian-dis"):
+        # pose-only cost for hungarian-dis; init poses carry no class
+        # scores, so 'hungarian' here also matches on pose (the
+        # reference's class cost on the all-ones init logits is a
+        # per-query constant and does not change the assignment)
+        from mvgformer_tpu.models.matcher import hungarian_match_callback
+
+        return hungarian_match_callback(cost, batch.targets.num_person)
+    raise ValueError(f"unknown match_method {dec.match_method}")

@@ -648,18 +648,24 @@ class SyntheticDataset(MultiViewDataset):
 
         self._cfg = cfg
         self._seed0 = 0 if is_train else 10_000
+        self._cache = {}
         self.frames = [{"key": str(i)} for i in range(num_frames)]
 
+    def _frame(self, i: int, load_images: bool):
+        key = (int(i), bool(load_images))
+        if key not in self._cache:
+            from mvgformer_tpu.data.synthetic import make_batch
+
+            self._cache[key] = make_batch(
+                self._cfg, batch_size=1, seed=self._seed0 + int(i),
+                num_people=2, render=load_images)
+        return self._cache[key]
+
     def load_batch(self, indices, load_images: bool = True):
-        from mvgformer_tpu.data.synthetic import make_batch
+        import jax
         import jax.numpy as jnp
 
-        batches = [make_batch(self._cfg, batch_size=1,
-                              seed=self._seed0 + int(i),
-                              num_people=2, render=load_images)
-                   for i in indices]
-        import jax
-
+        batches = [self._frame(i, load_images) for i in indices]
         return jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *batches)
 

@@ -110,6 +110,44 @@ def hungarian_match_host(cost: np.ndarray, num_person: np.ndarray):
     return out
 
 
+def hungarian_match_callback(cost: jnp.ndarray,
+                             num_person: jnp.ndarray) -> MatchResult:
+    """Hungarian assignment inside a traced step via jax.pure_callback.
+
+    The scipy solve runs on the host per step — the same host round trip the
+    reference takes (matcher.py:176-181 moves C to the CPU every call); use
+    KNN for fully-on-device training. K=1 dense result."""
+    B, Q, M = cost.shape
+
+    def host_fn(cost_np, num_np):
+        from scipy.optimize import linear_sum_assignment
+
+        query_idx = np.zeros((B, M, 1), dtype=np.int32)
+        gt_valid = np.zeros((B, M), dtype=bool)
+        query_mask = np.zeros((B, Q), dtype=bool)
+        for b in range(B):
+            n = int(num_np[b])
+            if n == 0:
+                continue
+            q_ids, g_ids = linear_sum_assignment(
+                np.asarray(cost_np[b][:, :n], dtype=np.float64))
+            for q, g in zip(q_ids, g_ids):
+                query_idx[b, g, 0] = q
+                gt_valid[b, g] = True
+                query_mask[b, q] = True
+        return query_idx, gt_valid, query_mask
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, M, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, M), jnp.bool_),
+        jax.ShapeDtypeStruct((B, Q), jnp.bool_),
+    )
+    query_idx, gt_valid, query_mask = jax.pure_callback(
+        host_fn, out_shapes, cost, num_person, vmap_method="sequential")
+    return MatchResult(query_idx=query_idx, gt_valid=gt_valid,
+                       query_mask=query_mask)
+
+
 def hungarian_to_match_result(pairs, B: int, Q: int, M: int) -> MatchResult:
     """Convert host Hungarian output to the dense MatchResult (K=1)."""
     query_idx = np.zeros((B, M, 1), dtype=np.int32)

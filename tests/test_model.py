@@ -230,3 +230,29 @@ class TestInitRefMethods:
         outs = model.apply(variables, batch, threshold=0.0,
                            rngs={"init_ref": jax.random.PRNGKey(2)})
         assert np.all(np.isfinite(np.asarray(outs[-1]["pred_poses"])))
+
+
+def test_hungarian_match_in_traced_step():
+    """match_method 'hungarian' runs inside jit via pure_callback and picks
+    the optimal one-to-one assignment."""
+    from mvgformer_tpu.core.criterion import match_queries
+
+    cfg = small_cfg(**{"DECODER.match_method": "hungarian"})
+    batch = make_batch(cfg, batch_size=2, seed=4, num_people=3)
+    refs = MVGFormer(cfg=cfg).initial_reference_points_static(2)
+
+    match = jax.jit(lambda r, b: match_queries(cfg, r, b))(refs, batch)
+    J = cfg.DECODER.num_keypoints
+    pred = np.asarray(refs).reshape(2, -1, J, 3)
+    gt = np.asarray(batch.targets.joints_3d)
+    from scipy.optimize import linear_sum_assignment
+    for b in range(2):
+        n = int(batch.targets.num_person[b])
+        cost = 0.01 * np.abs(
+            pred[b][:, None] - gt[b][None]).sum((-1, -2))[:, :n]
+        q_ids, g_ids = linear_sum_assignment(cost)
+        got = np.asarray(match.query_idx)[b, :, 0]
+        for q, g in zip(q_ids, g_ids):
+            assert got[g] == q
+        assert np.asarray(match.gt_valid)[b, :n].all()
+        assert not np.asarray(match.gt_valid)[b, n:].any()
