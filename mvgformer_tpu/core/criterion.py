@@ -79,8 +79,12 @@ def compute_layer_losses(cfg: Config,
                          out: Dict[str, jnp.ndarray],
                          batch: Batch,
                          match: MatchResult,
-                         num_samples: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """Losses for one decoder layer's outputs."""
+                         num_samples: jnp.ndarray,
+                         match_ce: Optional[MatchResult] = None
+                         ) -> Dict[str, jnp.ndarray]:
+    """Losses for one decoder layer's outputs. match_ce, when given,
+    replaces the assignment used by the classification loss only
+    (use_ce_match, multi_view_pose_transformer.py:833-841)."""
     dec = cfg.DECODER
     targets = batch.targets
     vd = batch.view_data
@@ -101,7 +105,8 @@ def compute_layer_losses(cfg: Config,
     losses: Dict[str, jnp.ndarray] = {}
 
     # ------------------------------------------------ labels (focal)
-    target_pos = match.query_mask.astype(jnp.float32)  # (B, Q)
+    ce_match = match_ce if match_ce is not None else match
+    target_pos = ce_match.query_mask.astype(jnp.float32)  # (B, Q)
     onehot = jnp.stack([jnp.zeros_like(target_pos), target_pos], axis=-1)
     focal = sigmoid_focal_loss(logits, onehot)
     losses["loss_ce"] = jnp.sum(focal) / num_samples
@@ -110,7 +115,7 @@ def compute_layer_losses(cfg: Config,
     thr = dec.pred_conf_threshold
     prob1 = jax.nn.sigmoid(logits[..., 1])
     pred_pos = prob1 > thr
-    matched = match.query_mask
+    matched = ce_match.query_mask
     n_matched = jnp.maximum(jnp.sum(matched), 1)
     argmax_ok = (logits[..., 1] > logits[..., 0]) & matched
     losses["class_error"] = 100.0 * (
@@ -282,11 +287,28 @@ def compute_losses(cfg: Config,
     num_samples = jnp.maximum(num, jnp.float32(num_replicas))
 
     # gt_match=True: one fixed match from the initial query grid; otherwise
-    # DETR-style per-layer matching on each layer's outputs
-    per_layer = [compute_layer_losses(
-        cfg, out, batch,
-        match if match is not None else match_outputs(cfg, out, batch),
-        num_samples) for out in layer_outputs]
+    # DETR-style per-layer matching on each layer's outputs. use_ce_match
+    # (multi_view_pose_transformer.py:833-841): with gt_match on, the CE
+    # loss instead matches each layer's own outputs (pose-only Hungarian,
+    # 'hungarian-dis') so classification supervises final assignments.
+    def layer_losses(out):
+        m = match if match is not None else match_outputs(cfg, out, batch)
+        if dec.use_ce_match and match is not None:
+            from mvgformer_tpu.models.matcher import (
+                hungarian_match_callback, pose_l1_cost)
+
+            J = dec.num_keypoints
+            pred = out["pred_poses"].astype(jnp.float32).reshape(
+                out["pred_poses"].shape[0], -1,
+                batch.targets.joints_3d.shape[2], 3)
+            cost = pose_l1_cost(pred, batch.targets.joints_3d.astype(
+                jnp.float32))
+            m_ce = hungarian_match_callback(cost, batch.targets.num_person)
+            return compute_layer_losses(cfg, out, batch, m, num_samples,
+                                        match_ce=m_ce)
+        return compute_layer_losses(cfg, out, batch, m, num_samples)
+
+    per_layer = [layer_losses(out) for out in layer_outputs]
     weights = layer_decay_weights(dec.decay_method, len(per_layer))
 
     summed: Dict[str, jnp.ndarray] = {}

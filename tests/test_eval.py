@@ -244,3 +244,23 @@ def test_observability_breakdown():
     assert out[(100, 3)]["num_gt"] == 1
     assert out[(100, 1)]["num_gt"] == 1
     assert out[(100, 3)]["ap@25"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_use_ce_match():
+    """use_ce_match: CE supervises per-layer Hungarian-on-outputs
+    assignments while pose losses keep the gt-match assignment."""
+    import jax
+    from mvgformer_tpu.core.criterion import compute_losses, match_queries
+    from mvgformer_tpu.data.synthetic import make_batch
+    from mvgformer_tpu.models.mvgformer import MVGFormer
+    from test_model import small_cfg
+
+    cfg = small_cfg(**{"DECODER.use_ce_match": True})
+    model = MVGFormer(cfg=cfg)
+    batch = make_batch(cfg, batch_size=1, seed=0, num_people=2)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    match = match_queries(
+        cfg, model.initial_reference_points_static(1), batch)
+    outs = model.apply(variables, batch, query_mask=match.query_mask)
+    losses = compute_losses(cfg, outs, batch, match)
+    assert np.isfinite(float(losses["total"]))
