@@ -8,9 +8,11 @@ parameters are replicated, and XLA inserts the gradient all-reduce over ICI.
 
 from mvgformer_tpu.parallel.mesh import (
     make_mesh,
+    make_mesh_2d,
     batch_sharding,
     replicated,
     shard_batch,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = ["make_mesh", "make_mesh_2d", "batch_sharding", "replicated",
+           "shard_batch"]

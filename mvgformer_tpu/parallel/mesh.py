@@ -26,6 +26,23 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(mesh_devices, (axis_name,))
 
 
+def make_mesh_2d(data: int, view: int,
+                 axis_names=("data", "view")) -> Mesh:
+    """A 2-D (data x view) mesh: batch sharded over 'data', the camera-view
+    dimension sharded over 'view' (view parallelism — the per-view backbone
+    and projective attention run fully sharded; XLA inserts the all-gathers
+    where cross-view reductions need every view: the mean-over-views feature
+    fusion, the confidence softmax over views, and triangulation).
+
+    The reference has no model parallelism at all (SURVEY.md §2.8); this is
+    a capability the sharded formulation gets from annotations alone."""
+    devices = jax.devices()
+    n = data * view
+    assert n <= len(devices), (data, view, len(devices))
+    mesh_devices = mesh_utils.create_device_mesh((data, view), devices[:n])
+    return Mesh(mesh_devices, tuple(axis_names))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim; everything else replicated."""
     return NamedSharding(mesh, P(axis_name))
@@ -35,17 +52,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Place a Batch pytree with the leading dim sharded over `axis_name`.
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data",
+                view_axis: Optional[str] = None):
+    """Place a Batch pytree with the leading (batch) dim sharded over
+    `axis_name` and, when `view_axis` is given and present in the mesh, the
+    second (view) dim sharded over it. Scalar/0-d leaves are replicated.
 
-    Scalar/0-d leaves are replicated.
+    Note: only per-view leaves (views, cameras, affines) have a view dim at
+    axis 1; target leaves (people dim at axis 1) must stay replicated on
+    that axis, so view sharding is applied only to rank>=4 leaves plus the
+    (B, V, 2) camera scalars — a structural heuristic that matches the
+    Batch pytree layout (data/meta.py).
     """
     data = batch_sharding(mesh, axis_name)
     repl = replicated(mesh)
+    use_view = view_axis is not None and view_axis in mesh.axis_names
 
-    def place(x):
+    def place_views(path, x):
         x = np.asarray(x) if not hasattr(x, "ndim") else x
-        sh = data if getattr(x, "ndim", 0) >= 1 else repl
-        return jax.device_put(x, sh)
+        nd = getattr(x, "ndim", 0)
+        if nd == 0:
+            return jax.device_put(x, repl)
+        keys = [getattr(p, "name", getattr(p, "key", "")) for p in path]
+        is_target = any("targets" in str(k) for k in keys)
+        if use_view and nd >= 2 and not is_target and nd != 2:
+            spec = [axis_name, view_axis] + [None] * (nd - 2)
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, data)
 
-    return jax.tree_util.tree_map(place, batch)
+    return jax.tree_util.tree_map_with_path(place_views, batch)
