@@ -23,7 +23,6 @@ A100_REFERENCE_FPS_ESTIMATE = 10.0
 def main():
     import jax
 
-    from mvgformer_tpu.core.train import make_eval_step
     from mvgformer_tpu.config import load_config
     from mvgformer_tpu.data.synthetic import make_batch
     from mvgformer_tpu.models.mvgformer import MVGFormer
@@ -43,24 +42,49 @@ def main():
     model = MVGFormer(cfg=cfg)
     batch = make_batch(cfg, batch_size=batch_size, seed=0, num_people=3)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
-    eval_step = make_eval_step(cfg, model, threshold=0.1)
 
-    # warmup + compile; timing uses an explicit host readback per
-    # iteration because block_until_ready can return early under the
-    # remote TPU relay used in this environment
+    # Timing protocol: the environment's remote-TPU relay (a) lets
+    # block_until_ready return early and (b) adds a ~30 ms round-trip to
+    # every host readback. So the device runs ITERS *chained* eval steps
+    # inside one program (a lax.scan whose carry feeds a zero derived from
+    # step i's prediction into step i+1's input, forcing sequential
+    # execution and defeating CSE/DCE) and the single final readback pays
+    # the relay cost once.
+    import dataclasses
+
     import jax.numpy as jnp
 
-    def step_scalar():
-        pred = eval_step(variables["params"], variables["batch_stats"],
-                         batch)
-        return float(jnp.sum(pred))
-
-    step_scalar()
-
     iters = 20
+    threshold = 0.1
+
+    @jax.jit
+    def chained(params, batch_stats, batch):
+        def body(eps, _):
+            b = dataclasses.replace(batch,
+                                    views=batch.views + eps)
+            outs = model.apply({"params": params,
+                                "batch_stats": batch_stats},
+                               b, threshold=threshold)
+            out = outs[-1]
+            B, Q = out["pred_logits"].shape[:2]
+            poses = out["pred_poses"].reshape(B, Q, -1, 3)
+            J = poses.shape[2]
+            score = jax.nn.sigmoid(out["pred_logits"][:, :, 1:2])
+            score = jnp.broadcast_to(score[:, :, None], (B, Q, J, 1))
+            flag = (score > threshold).astype(poses.dtype) - 1.0
+            pred = jnp.concatenate([poses, flag, score], axis=-1)
+            # *0.0 is not constant-foldable for floats (NaN semantics),
+            # so the data dependency survives compilation
+            return jnp.sum(pred) * 0.0, None
+
+        eps, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return eps
+
+    args = (variables["params"], variables["batch_stats"], batch)
+    float(chained(*args))  # compile + warmup
+
     start = time.perf_counter()
-    for _ in range(iters):
-        step_scalar()
+    float(chained(*args))
     elapsed = time.perf_counter() - start
 
     fps = batch_size * iters / elapsed

@@ -76,6 +76,10 @@ def build_corner_tables(value: jnp.ndarray,
     beats 4 narrow ones ~3x; measured on v5e).
 
     value: (N, Len_in, H, D) -> list of (N, H, (h+2)*(w+2), 4*D) tables.
+
+    Built head-major-first: one small transpose of the pre-pad data, then
+    pad/shift/concat on the minor axis — avoids a major-axis transpose of
+    the 4x-blown-up table (~5 ms/layer on v5e at production shapes).
     """
     N, Len_in, H, D = value.shape
     tables = []
@@ -83,18 +87,18 @@ def build_corner_tables(value: jnp.ndarray,
     for (h, w) in spatial_shapes:
         v = jax.lax.dynamic_slice_in_dim(value, start, h * w, axis=1)
         start += h * w
-        v = v.reshape(N, h, w, H, D)
-        v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+        v = jnp.swapaxes(v, 1, 2).reshape(N, H, h, w, D)
+        v = jnp.pad(v, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
         hp, wp = h + 2, w + 2
         c00 = v
-        c01 = jnp.pad(v[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0), (0, 0)))
-        c10 = jnp.pad(v[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
-        c11 = jnp.pad(v[:, 1:, 1:],
-                      ((0, 0), (0, 1), (0, 1), (0, 0), (0, 0)))
-        tbl = jnp.stack([c00, c01, c10, c11], axis=-2)  # (N,hp,wp,H,4,D)
-        tbl = jnp.transpose(tbl, (0, 3, 1, 2, 4, 5)).reshape(
-            N, H, hp * wp, 4 * D)
-        tables.append(tbl)
+        c01 = jnp.pad(v[:, :, :, 1:],
+                      ((0, 0), (0, 0), (0, 0), (0, 1), (0, 0)))
+        c10 = jnp.pad(v[:, :, 1:],
+                      ((0, 0), (0, 0), (0, 1), (0, 0), (0, 0)))
+        c11 = jnp.pad(v[:, :, 1:, 1:],
+                      ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+        tbl = jnp.concatenate([c00, c01, c10, c11], axis=-1)
+        tables.append(tbl.reshape(N, H, hp * wp, 4 * D))
     return tables
 
 
@@ -105,7 +109,14 @@ def deform_sample_corner(value: jnp.ndarray,
     """Fast exact deformable sampling via 4-corner tables.
 
     Same contract as deform_sample; one (1, 4D) row-gather per sample
-    instead of four (1, D) gathers."""
+    instead of four (1, D) gathers.
+
+    The gather is issued per (view, head) over that pair's own (hw, 4D)
+    table slice rather than as one batched gather over the whole table:
+    XLA's TPU gather runs ~20 ns/slice when the operand is HBM-sized but
+    ~7-9 ns/slice when the operand is small enough to stage on-chip
+    (~16 MB here; measured on v5e, see PERF.md "gather wall"), a 2.2x
+    end-to-end win on this op at production shapes."""
     N, Len_in, H, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     tables = build_corner_tables(value, spatial_shapes)
@@ -129,17 +140,27 @@ def deform_sample_corner(value: jnp.ndarray,
         xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, wp - 2)
         yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, hp - 2)
         idx = yi * wp + xi  # (N, H, Lq*P)
-        g = jnp.take_along_axis(tables[lvl], idx[..., None], axis=2)
-        g = g.reshape(N, H, Lq * P, 4, D)
         wts = jnp.stack([
             (1 - lx) * (1 - ly), lx * (1 - ly),
             (1 - lx) * ly, lx * ly], axis=-1)  # (N, H, Lq*P, 4)
         wts = wts * touch[..., None]
-        sampled = jnp.sum(g * wts[..., None].astype(g.dtype), axis=3)
         aw = jnp.transpose(attention_weights[:, :, :, lvl],
                            (0, 2, 1, 3)).reshape(N, H, Lq * P)
-        out = out + jnp.sum(
-            (sampled * aw[..., None]).reshape(N, H, Lq, P, D), axis=3)
+        # per-(view, head) small-operand gathers (see docstring)
+        houts = []
+        for n in range(N):
+            for hh in range(H):
+                # the barrier keeps the per-(n,h) table slice a distinct
+                # small buffer (the on-chip-stageable gather operand)
+                sub = jax.lax.optimization_barrier(tables[lvl][n, hh])
+                g = sub[idx[n, hh]]  # (Lq*P, 4D)
+                g = g.reshape(Lq * P, 4, D)
+                sampled = jnp.sum(
+                    g * wts[n, hh][..., None].astype(g.dtype), axis=1)
+                houts.append(jnp.sum(
+                    (sampled * aw[n, hh][..., None]).reshape(Lq, P, D),
+                    axis=1))
+        out = out + jnp.stack(houts).reshape(N, H, Lq, D)
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(N, Lq, H * D)
 
 
