@@ -37,6 +37,10 @@ def main():
     # than 128: the K*J=1920 shape trips a Mosaic/XLA compiler fault on the
     # current toolchain.
     cfg.DECODER.inference_topk_queries = 256
+    # scalarized fixed-sweep Jacobi null-vector solver: ~1.5 ms vs 23 ms
+    # (SVD) / 17 ms (XLA eigh) per layer at these shapes; agrees with the
+    # SVD solution to ~1e-4 on the unit null vector (PERF.md)
+    cfg.DECODER.triangulation_method = "jacobi"
 
     batch_size = 1
     model = MVGFormer(cfg=cfg)

@@ -14,12 +14,76 @@ Solvers:
         sign-invariant, so it matches the reference's -V[:, 3] convention
         (multiview.py:220-221) exactly up to fp error.
     'svd'  -- jnp.linalg.svd of A, bit-closer mirror of the reference.
+    'jacobi' -- same Gram formulation as 'eigh' but solved with a
+        fixed-sweep scalarized cyclic-Jacobi rotation loop instead of
+        jnp.linalg.eigh. XLA's batched eigh/svd on (3840, 4, 4)-class
+        problems costs 17-23 ms on v5e; the Jacobi loop (10 Gram entries +
+        16 eigenvector entries kept as flat per-point arrays, every
+        rotation pure elementwise math that XLA fuses) costs ~1.5 ms and
+        agrees with eigh to ~1e-4 on the unit eigenvector (f32-limited;
+        converged after 5 of the 6 sweeps). Production inference solver.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+_JACOBI_PAIRS = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+
+def jacobi4_smallest(G: jnp.ndarray, sweeps: int = 6) -> jnp.ndarray:
+    """Eigenvector of the smallest eigenvalue of symmetric (..., 4, 4) G.
+
+    Fixed-count cyclic Jacobi, fully scalarized: the matrix lives as 10
+    unique-entry arrays and the accumulated rotation as 16, so every
+    update is elementwise over the batch (no batched 4x4 matmuls, which
+    are overhead-bound on TPU at this size).
+    """
+    a = {(i, j): G[..., i, j].astype(jnp.float32)
+         for i in range(4) for j in range(i, 4)}
+    zero = jnp.zeros_like(a[(0, 0)])
+    one = jnp.ones_like(zero)
+    v = {(r, cix): (one if r == cix else zero)
+         for r in range(4) for cix in range(4)}
+
+    def get(i, j):
+        return a[(i, j)] if i <= j else a[(j, i)]
+
+    def put(i, j, val):
+        a[(i, j) if i <= j else (j, i)] = val
+
+    for _ in range(sweeps):
+        for (p, q) in _JACOBI_PAIRS:
+            app, aqq, apq = a[(p, p)], a[(q, q)], a[(p, q)]
+            small = jnp.abs(apq) <= 1e-30
+            safe = jnp.where(small, 1.0, apq)
+            tau = (aqq - app) / (2.0 * safe)
+            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            t = jnp.where(tau == 0.0, 1.0, t)  # tau=0 -> 45-degree rotation
+            t = jnp.where(small, 0.0, t)
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            s = t * c
+            a[(p, p)] = app - t * apq
+            a[(q, q)] = aqq + t * apq
+            a[(p, q)] = jnp.where(small, apq, 0.0)
+            for r in range(4):
+                if r == p or r == q:
+                    continue
+                arp, arq = get(r, p), get(r, q)
+                put(r, p, c * arp - s * arq)
+                put(r, q, s * arp + c * arq)
+            for r in range(4):
+                vrp, vrq = v[(r, p)], v[(r, q)]
+                v[(r, p)] = c * vrp - s * vrq
+                v[(r, q)] = s * vrp + c * vrq
+
+    vals = jnp.stack([a[(i, i)] for i in range(4)], axis=-1)
+    idx = jnp.argmin(vals, axis=-1)
+    cols = jnp.stack(
+        [jnp.stack([v[(r, cix)] for cix in range(4)], axis=-1)
+         for r in range(4)], axis=-2)  # (..., row, col)
+    return jnp.take_along_axis(cols, idx[..., None, None], axis=-1)[..., 0]
 
 
 def homogeneous_to_euclidean(points: jnp.ndarray) -> jnp.ndarray:
@@ -58,6 +122,12 @@ def triangulate_dlt(proj: jnp.ndarray, points2d: jnp.ndarray,
     if solver == "svd":
         _, _, vh = jnp.linalg.svd(A, full_matrices=False)
         v = -vh[..., 3, :]  # matches multiview.py:220 sign convention
+    elif solver == "jacobi":
+        colscale = jnp.max(jnp.abs(A), axis=-2, keepdims=True) + 1e-12
+        An = A / colscale
+        gram = jnp.matmul(jnp.swapaxes(An, -1, -2), An,
+                          precision=jax.lax.Precision.HIGHEST)
+        v = jacobi4_smallest(gram) / colscale[..., 0, :]
     elif solver == "eigh":
         # Column-equilibrate before forming the Gram matrix: raw A entries
         # reach ~1e7 (pixels x focal x mm translations), and squaring that

@@ -69,7 +69,7 @@ class DQDecoderLayer(nn.Module):
     init_self_attention: bool = False
     open_forward_ffn: bool = True
     posembed_mode: str = "ablation_not_use_rayconv"
-    triangulation_solver: str = "eigh"  # 'svd' | 'eigh' | 'st'
+    triangulation_solver: str = "eigh"  # 'svd' | 'eigh' | 'jacobi' | 'st'
     # target bone lengths (J-1,) for 'st' (structural triangulation);
     # defaults are derived from the T-pose asset by the top model
     st_bone_lengths: tuple = None

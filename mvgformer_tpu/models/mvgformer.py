@@ -153,12 +153,14 @@ class MVGFormer(nn.Module):
                 open_forward_ffn=dec.open_forward_ffn,
                 posembed_mode=dec.projattn_posembed_mode,
                 # 'linalg'/'batch'/'default' (reference SVD variants) -> svd;
-                # 'eigh' is this framework's fast TPU option (4x4 Gram
-                # eigendecomposition); 'st' = structural triangulation with
-                # bone-length constraints (lib/structural)
+                # 'eigh'/'jacobi' are this framework's fast TPU options
+                # (4x4 Gram eigendecomposition; jacobi = fixed-sweep
+                # scalarized rotations, ~15x faster than svd on v5e);
+                # 'st' = structural triangulation with bone-length
+                # constraints (lib/structural)
                 triangulation_solver=(
                     dec.triangulation_method
-                    if dec.triangulation_method in ("eigh", "st")
+                    if dec.triangulation_method in ("eigh", "st", "jacobi")
                     else "svd"),
                 st_bone_lengths=tuple(_tpose_bone_lengths(
                     load_tpose(dec.t_pose_dir))),

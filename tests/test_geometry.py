@@ -168,7 +168,7 @@ class TestTriangulation:
         proj = np.asarray(projection_matrices(cams, inv_trans=True))
         return cams, pts3d, pix, proj
 
-    @pytest.mark.parametrize("solver", ["eigh", "svd"])
+    @pytest.mark.parametrize("solver", ["eigh", "svd", "jacobi"])
     def test_roundtrip_exact(self, solver):
         cams, pts3d, pix, proj = self._setup()
         B, V, Nj, _ = pix.shape
@@ -196,11 +196,23 @@ class TestTriangulation:
         p2d = np.transpose(pix, (0, 2, 1, 3))
         pm = np.broadcast_to(proj[:, None], (B, Nj, V, 3, 4))
         cf = np.transpose(conf, (0, 2, 1))
-        for solver in ("svd", "eigh"):
+        for solver in ("svd", "eigh", "jacobi"):
             ours = np.asarray(triangulate_dlt(
                 jnp.asarray(pm), jnp.asarray(p2d), jnp.asarray(cf),
                 solver=solver))
             np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2.0)
+
+    def test_jacobi_matches_eigh_eigenvector(self):
+        """jacobi4_smallest == jnp.linalg.eigh smallest eigenvector (up to
+        sign) on random PSD 4x4 batches, to f32 precision."""
+        from mvgformer_tpu.geometry.triangulate import jacobi4_smallest
+        rng = np.random.RandomState(0)
+        A = rng.normal(size=(512, 10, 4)).astype(np.float32)
+        G = jnp.einsum("bia,bic->bac", A, A)
+        ref = np.asarray(jnp.linalg.eigh(G)[1][..., :, 0])
+        got = np.asarray(jacobi4_smallest(G))
+        sgn = np.sign(np.sum(got * ref, axis=-1, keepdims=True))
+        np.testing.assert_allclose(got * sgn, ref, atol=5e-4)
 
     def test_confidence_downweights_bad_view(self):
         cams, pts3d, pix, proj = self._setup(seed=6)
