@@ -1,19 +1,24 @@
 """Detailed benchmark: throughput across inference configurations.
 
 Prints one JSON line per configuration (the driver-facing single-line
-summary stays in bench.py). Timing uses per-iteration host readbacks.
+summary stays in bench.py). Timing uses the chained-scan protocol (see
+bench.py / PERF.md "measurement traps"): ITERS eval steps run device-side
+with a data dependency between them, one host readback at the end, so the
+~30 ms relay round-trip is amortized instead of inflating every frame.
 """
 
+import dataclasses
 import json
 import time
 
+ITERS = 20
 
-def run_config(name, batch_size=1, topk=None, solver="linalg", iters=10):
+
+def run_config(name, batch_size=1, topk=None, solver="linalg"):
     import jax
     import jax.numpy as jnp
 
     from mvgformer_tpu.config import load_config
-    from mvgformer_tpu.core.train import make_eval_step
     from mvgformer_tpu.data.synthetic import make_batch
     from mvgformer_tpu.models.mvgformer import MVGFormer
 
@@ -24,30 +29,39 @@ def run_config(name, batch_size=1, topk=None, solver="linalg", iters=10):
     cfg.DECODER.inference_topk_queries = topk
     cfg.DECODER.triangulation_method = solver
 
+    threshold = 0.1
     model = MVGFormer(cfg=cfg)
     batch = make_batch(cfg, batch_size=batch_size, seed=0, num_people=3)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
-    step = make_eval_step(cfg, model, threshold=0.1)
 
-    def once():
-        return float(jnp.sum(step(variables["params"],
-                                  variables["batch_stats"], batch)))
+    @jax.jit
+    def chained(params, batch_stats, batch):
+        def body(eps, _):
+            b = dataclasses.replace(batch, views=batch.views + eps)
+            outs = model.apply({"params": params,
+                                "batch_stats": batch_stats},
+                               b, threshold=threshold)
+            return (jnp.sum(outs[-1]["pred_poses"]).astype(jnp.float32)
+                    * 0.0, None)
 
-    once()
+        eps, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+        return eps
+
+    args = (variables["params"], variables["batch_stats"], batch)
+    float(chained(*args))
     start = time.perf_counter()
-    for _ in range(iters):
-        once()
-    fps = batch_size * iters / (time.perf_counter() - start)
+    float(chained(*args))
+    fps = batch_size * ITERS / (time.perf_counter() - start)
     print(json.dumps({"config": name, "fps_per_chip": round(fps, 3)}),
           flush=True)
     return fps
 
 
 def main():
-    run_config("dense_svd_b1", batch_size=1, topk=None)
-    run_config("topk256_svd_b1", batch_size=1, topk=256)
-    run_config("topk256_svd_b2", batch_size=2, topk=256)
-    run_config("topk256_eigh_b1", batch_size=1, topk=256, solver="eigh")
+    run_config("topk256_jacobi_b1", topk=256, solver="jacobi")
+    run_config("topk256_svd_b1", topk=256, solver="linalg")
+    run_config("dense_jacobi_b1", topk=None, solver="jacobi")
+    run_config("topk256_jacobi_b2", batch_size=2, topk=256, solver="jacobi")
 
 
 if __name__ == "__main__":
