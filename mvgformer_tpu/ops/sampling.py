@@ -146,21 +146,33 @@ def deform_sample_corner(value: jnp.ndarray,
         wts = wts * touch[..., None]
         aw = jnp.transpose(attention_weights[:, :, :, lvl],
                            (0, 2, 1, 3)).reshape(N, H, Lq * P)
-        # per-(view, head) small-operand gathers (see docstring)
-        houts = []
-        for n in range(N):
-            for hh in range(H):
-                # the barrier keeps the per-(n,h) table slice a distinct
-                # small buffer (the on-chip-stageable gather operand)
-                sub = jax.lax.optimization_barrier(tables[lvl][n, hh])
-                g = sub[idx[n, hh]]  # (Lq*P, 4D)
-                g = g.reshape(Lq * P, 4, D)
-                sampled = jnp.sum(
-                    g * wts[n, hh][..., None].astype(g.dtype), axis=1)
-                houts.append(jnp.sum(
-                    (sampled * aw[n, hh][..., None]).reshape(Lq, P, D),
-                    axis=1))
-        out = out + jnp.stack(houts).reshape(N, H, Lq, D)
+        if N * H * Lq * P >= 262144:
+            # per-(view, head) small-operand gathers (see docstring).
+            # Only worthwhile at production scale: the N*H python loop
+            # multiplies program size, which slows CPU compile/AD badly
+            # at test shapes while the slice-count win is negligible.
+            houts = []
+            for n in range(N):
+                for hh in range(H):
+                    # the barrier keeps the per-(n,h) table slice a
+                    # distinct small buffer (the on-chip-stageable
+                    # gather operand)
+                    sub = jax.lax.optimization_barrier(tables[lvl][n, hh])
+                    g = sub[idx[n, hh]]  # (Lq*P, 4D)
+                    g = g.reshape(Lq * P, 4, D)
+                    sampled = jnp.sum(
+                        g * wts[n, hh][..., None].astype(g.dtype), axis=1)
+                    houts.append(jnp.sum(
+                        (sampled * aw[n, hh][..., None]).reshape(Lq, P, D),
+                        axis=1))
+            lvl_out = jnp.stack(houts).reshape(N, H, Lq, D)
+        else:
+            g = jnp.take_along_axis(tables[lvl], idx[..., None], axis=2)
+            g = g.reshape(N, H, Lq * P, 4, D)
+            sampled = jnp.sum(g * wts[..., None].astype(g.dtype), axis=3)
+            lvl_out = jnp.sum(
+                (sampled * aw[..., None]).reshape(N, H, Lq, P, D), axis=3)
+        out = out + lvl_out
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(N, Lq, H * D)
 
 
