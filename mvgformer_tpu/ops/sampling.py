@@ -102,6 +102,18 @@ def build_corner_tables(value: jnp.ndarray,
     return tables
 
 
+def _corner_table_single(v: jnp.ndarray) -> jnp.ndarray:
+    """One (h, w, D) map -> ((h+2)*(w+2), 4D) zero-padded 4-corner rows."""
+    h, w, D = v.shape
+    v = jnp.pad(v, ((1, 1), (1, 1), (0, 0)))
+    c00 = v
+    c01 = jnp.pad(v[:, 1:], ((0, 0), (0, 1), (0, 0)))
+    c10 = jnp.pad(v[1:], ((0, 1), (0, 0), (0, 0)))
+    c11 = jnp.pad(v[1:, 1:], ((0, 1), (0, 1), (0, 0)))
+    t = jnp.concatenate([c00, c01, c10, c11], axis=-1)
+    return t.reshape((h + 2) * (w + 2), 4 * D)
+
+
 def deform_sample_corner(value: jnp.ndarray,
                          spatial_shapes: Sequence[Tuple[int, int]],
                          sampling_locations: jnp.ndarray,
@@ -111,17 +123,25 @@ def deform_sample_corner(value: jnp.ndarray,
     Same contract as deform_sample; one (1, 4D) row-gather per sample
     instead of four (1, D) gathers.
 
-    The gather is issued per (view, head) over that pair's own (hw, 4D)
-    table slice rather than as one batched gather over the whole table:
-    XLA's TPU gather runs ~20 ns/slice when the operand is HBM-sized but
-    ~7-9 ns/slice when the operand is small enough to stage on-chip
-    (~16 MB here; measured on v5e, see PERF.md "gather wall"), a 2.2x
-    end-to-end win on this op at production shapes."""
+    At production sizes each (view, head) pair gets its OWN standalone
+    (hw, 4D) corner table (built + barriered separately) and its own
+    gather over it. Two measured v5e effects (PERF.md "gather wall",
+    output/probe_bisect_sampler.py):
+      * gathers over a small standalone operand run ~4-5x faster than one
+        batched gather over the whole (N, H, hw, 4D) buffer;
+      * slicing a big in-program table per (n, h) — even behind
+        optimization_barrier — costs ~2x the whole op vs building each
+        table as its own buffer (12.9 ms vs 6.7 ms at topk shapes)."""
     N, Len_in, H, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
-    tables = build_corner_tables(value, spatial_shapes)
+    unstacked = N * H * Lq * P >= 262144
+    tables = None if unstacked else build_corner_tables(value, spatial_shapes)
+    # (N, H, Len_in, D) view-head-major once; per-level slices reshape to
+    # (N, H, h, w, D) for the per-(n,h) table builds
+    value_hd = jnp.swapaxes(value, 1, 2) if unstacked else None
 
     out = jnp.zeros((N, H, Lq, D), dtype=value.dtype)
+    start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
         hp, wp = h + 2, w + 2
         loc = sampling_locations[:, :, :, lvl]  # (N, Lq, H, P, 2)
@@ -146,19 +166,19 @@ def deform_sample_corner(value: jnp.ndarray,
         wts = wts * touch[..., None]
         aw = jnp.transpose(attention_weights[:, :, :, lvl],
                            (0, 2, 1, 3)).reshape(N, H, Lq * P)
-        if N * H * Lq * P >= 262144:
-            # per-(view, head) small-operand gathers (see docstring).
-            # Only worthwhile at production scale: the N*H python loop
-            # multiplies program size, which slows CPU compile/AD badly
-            # at test shapes while the slice-count win is negligible.
+        if unstacked:
+            # per-(view, head) standalone tables + small-operand gathers
+            # (see docstring). Only worthwhile at production scale: the
+            # N*H python loop multiplies program size, which slows CPU
+            # compile/AD badly at test shapes while the win is negligible.
+            v_l = jax.lax.dynamic_slice_in_dim(
+                value_hd, start, h * w, axis=2).reshape(N, H, h, w, D)
             houts = []
             for n in range(N):
                 for hh in range(H):
-                    # the barrier keeps the per-(n,h) table slice a
-                    # distinct small buffer (the on-chip-stageable
-                    # gather operand)
-                    sub = jax.lax.optimization_barrier(tables[lvl][n, hh])
-                    g = sub[idx[n, hh]]  # (Lq*P, 4D)
+                    tbl = jax.lax.optimization_barrier(
+                        _corner_table_single(v_l[n, hh]))
+                    g = tbl[idx[n, hh]]  # (Lq*P, 4D)
                     g = g.reshape(Lq * P, 4, D)
                     sampled = jnp.sum(
                         g * wts[n, hh][..., None].astype(g.dtype), axis=1)
@@ -173,6 +193,7 @@ def deform_sample_corner(value: jnp.ndarray,
             lvl_out = jnp.sum(
                 (sampled * aw[..., None]).reshape(N, H, Lq, P, D), axis=3)
         out = out + lvl_out
+        start += h * w
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(N, Lq, H * D)
 
 
