@@ -172,6 +172,19 @@ class MultiViewDataset:
     def __len__(self):
         return len(self.frames)
 
+    def observability_arrays(self, n: int):
+        """(gt_joints, per-frame (V, G, J) 2D-visibility) for the first n
+        frames, or None when the dataset carries no per-view visibility —
+        feeds evaluate_by_observability (TEST.CAMERA_DETAIL,
+        reference lib/dataset/panoptic.py:577-703)."""
+        frames = self.frames[:n]
+        if not frames or any(
+                fr.get("joints_2d_vis") is None for fr in frames):
+            return None
+        gts = [fr["joints_3d"] for fr in frames]
+        vis = [np.asarray(fr["joints_2d_vis"]) for fr in frames]
+        return gts, vis
+
     def load_batch(self, indices: Sequence[int],
                    load_images: bool = True) -> Batch:
         """Assemble a Batch from frame indices (host-side, numpy)."""
@@ -207,10 +220,21 @@ class MultiViewDataset:
             if g:
                 v = fr.get("joints_3d_vis")
                 vis3[b, :g] = (np.asarray(v)[:g] if v is not None else 1.0)
+        vp = None
+        if any(fr.get("joints_3d_voxelpose_pred") is not None
+               for fr in frames):
+            vp = np.zeros((B, self.max_people, J, 5), dtype=np.float32)
+            for b, fr in enumerate(frames):
+                p = fr.get("joints_3d_voxelpose_pred")
+                if p is not None:
+                    p = np.asarray(p, dtype=np.float32)
+                    m = min(len(p), self.max_people)
+                    vp[b, :m] = p[:m, :J]
         targets = Targets(joints_3d=targets.joints_3d,
                           joints_3d_vis=vis3,
                           roots_3d=targets.roots_3d,
-                          num_person=targets.num_person)
+                          num_person=targets.num_person,
+                          voxelpose_pred=vp)
 
         if load_images:
             from mvgformer_tpu import runtime as native_runtime
@@ -425,6 +449,7 @@ class _ShelfCampusBase(MultiViewDataset):
 
     IMAGE_WH: Tuple[int, int] = (1032, 776)
     FRAME_RANGE = range(0, 1)
+    TRAIN_FRAME_RANGE: List[int] = []
     CALIB_FILE = ""
     GT_UNIT_TO_MM = 1000.0
 
@@ -433,14 +458,17 @@ class _ShelfCampusBase(MultiViewDataset):
         super().__init__(cfg, image_set, is_train)
         self.dataset_root = osp.join(cfg.DATA_DIR, cfg.DATASET.ROOT)
         self.image_pattern = image_pattern
-        self.gt_num_joints = 14
+        # eval gt is the 14-joint converted format; finetuning trains
+        # against 15-joint voxelpose pseudo-GT directly (shelf.py:151-187)
+        self.gt_num_joints = self.num_joints if is_train else 14
         self.actor_3d = self._load_actors()
         self.num_actors = len(self.actor_3d) if self.actor_3d is not None \
             else 0
         cams = self._load_cameras()
         self.cameras = stack_cameras(cams)
         self.num_views = len(cams)
-        self.frames = self._build_frames()
+        self.frames = (self._build_train_frames() if is_train
+                       else self._build_frames())
 
     def _load_cameras(self):
         with open(osp.join(self.dataset_root, self.CALIB_FILE)) as f:
@@ -471,6 +499,61 @@ class _ShelfCampusBase(MultiViewDataset):
                 out.append(np.asarray(gt, dtype=np.float32)
                            * self.GT_UNIT_TO_MM)
         return out
+
+    def _build_train_frames(self) -> List[dict]:
+        """Finetuning frames from voxelpose pseudo-GT (shelf.py:151-187,
+        campus.py same pattern): a pickle {image basename: [poses (J,3)
+        mm]} built by running voxelpose on the train frame ranges; the
+        model finetunes against these 15-joint panoptic-format poses while
+        eval stays 14-joint via convert_joint_format_indices."""
+        if not self.cfg.DATASET.PESUDO_GT:
+            raise ValueError(
+                "finetuning on shelf/campus needs DATASET.PESUDO_GT "
+                "(a voxelpose pseudo-gt pickle; shelf.py:110-112)")
+        import jax.numpy as jnp
+
+        from mvgformer_tpu.geometry.cameras import project_points
+
+        path = osp.join(self.dataset_root, "pesudo_gt",
+                        self.cfg.DATASET.PESUDO_GT)
+        with open(path, "rb") as f:
+            pgt = pickle.load(f)
+
+        frames = []
+        W, H = self.IMAGE_WH
+        J = self.gt_num_joints
+        for fi in self.TRAIN_FRAME_RANGE:
+            key = osp.basename(self.image_pattern.format(cam=0, frame=fi))
+            poses = [np.asarray(p, np.float32) for p in pgt.get(key, [])
+                     if np.asarray(p).size]
+            poses = [p for p in poses if p.shape[0] >= J]
+            images = [osp.join(self.dataset_root,
+                               self.image_pattern.format(cam=v, frame=fi))
+                      for v in range(self.num_views)]
+            if poses:
+                gt = np.stack([p[:J, :3] for p in poses])  # (G, J, 3)
+                V, G = self.num_views, len(gt)
+                flat = np.broadcast_to(gt.reshape(1, -1, 3), (V, G * J, 3))
+                pix = np.asarray(project_points(
+                    jnp.asarray(flat), self.cameras)).reshape(V, G, J, 2)
+                vis2d = ((pix[..., 0] >= 0) & (pix[..., 0] <= W - 1)
+                         & (pix[..., 1] >= 0)
+                         & (pix[..., 1] <= H - 1)).astype(np.float32)
+            else:
+                gt = np.zeros((0, J, 3), np.float32)
+                vis2d = np.zeros((self.num_views, 0, J), np.float32)
+            frames.append({
+                "key": str(fi),
+                "frame_index": fi,
+                "images": images,
+                "cameras": self.cameras,
+                "image_wh": np.tile(np.array(self.IMAGE_WH, np.float32),
+                                    (self.num_views, 1)),
+                "joints_3d": gt,
+                "joints_3d_vis": np.ones((len(gt), J), np.float32),
+                "joints_2d_vis": vis2d,
+            })
+        return frames
 
     def _build_frames(self) -> List[dict]:
         frames = []
@@ -507,6 +590,8 @@ class ShelfDataset(_ShelfCampusBase):
 
     IMAGE_WH = (1032, 776)
     FRAME_RANGE = range(300, 601)
+    # shelf.py:105-106
+    TRAIN_FRAME_RANGE = list(range(0, 300)) + list(range(601, 3200))
     CALIB_FILE = "calibration_shelf.json"
 
     def __init__(self, cfg: Config, image_set: str = "validation",
@@ -521,6 +606,11 @@ class CampusDataset(_ShelfCampusBase):
 
     IMAGE_WH = (360, 288)
     FRAME_RANGE = list(range(350, 471)) + list(range(650, 751))
+    # campus.py:88-89 (augmented training set: hard ranges repeated)
+    TRAIN_FRAME_RANGE = (list(range(0, 350)) + list(range(471, 650))
+                         + list(range(751, 1900))
+                         + list(range(471, 520)) * 2
+                         + list(range(751, 1200)) * 2)
     CALIB_FILE = "calibration_campus.json"
 
     def __init__(self, cfg: Config, image_set: str = "validation",
@@ -677,6 +767,15 @@ class SyntheticDataset(MultiViewDataset):
             gts.append(np.asarray(b.targets.joints_3d)[0][:n])
             vis.append(np.asarray(b.targets.joints_3d_vis)[0][:n])
         return evaluate_ap_mpjpe(list(preds), gts, vis)
+
+    def observability_arrays(self, n: int):
+        gts, vis = [], []
+        for i in range(n):
+            b = self.load_batch([i], load_images=False)
+            g = int(np.asarray(b.targets.num_person)[0])
+            gts.append(np.asarray(b.targets.joints_3d)[0][:g])
+            vis.append(np.asarray(b.view_data.joints_vis_2d)[0][:, :g])
+        return gts, vis
 
 
 DATASETS["synthetic"] = SyntheticDataset

@@ -49,6 +49,9 @@ class Targets:
     joints_3d_vis: jnp.ndarray   # (B, M, J) visibility in {0, 1}
     roots_3d: jnp.ndarray        # (B, M, 3)
     num_person: jnp.ndarray      # (B,) int32
+    # optional voxelpose predictions (B, M, J, 5) = xyz + vis + score
+    # (reference meta 'joints_3d_voxelpose_pred', dq_transformer.py:260-263)
+    voxelpose_pred: Optional[jnp.ndarray] = None
 
 
 @struct.dataclass

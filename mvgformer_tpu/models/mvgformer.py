@@ -270,9 +270,26 @@ class MVGFormer(nn.Module):
                 refs0 = (centers[:, :, None, :]
                          + self.t_pose[None, None]).reshape(B, -1, 3)
         elif method == "voxcel_pose_base":
-            raise NotImplementedError(
-                "voxcel_pose_base requires voxelpose predictions in the "
-                "batch (reference dq_transformer.py:325-327)")
+            # reference points = voxelpose predicted poses, reshaped
+            # (B, M*J, 3) (dq_transformer.py:260-263,325-327). The
+            # reference views the (B, M, J, 3) preds straight into the
+            # query layout, so the query count must equal the voxelpose
+            # slot count (the ablation configs set num_instance =
+            # MAX_PEOPLE_NUM for this init).
+            vp = (batch.targets.voxelpose_pred
+                  if batch.targets is not None else None)
+            if vp is None:
+                raise ValueError(
+                    "voxcel_pose_base needs voxelpose predictions in the "
+                    "batch (DATASET.ADD_VOXEL_PRED attaches them; "
+                    "reference dq_transformer.py:325-327)")
+            refs0 = vp[..., :3].astype(jnp.float32).reshape(B, -1, 3)
+            if refs0.shape[1] != self.num_instance * self.num_joints:
+                raise ValueError(
+                    "voxcel_pose_base: DECODER.num_instance (%d) must "
+                    "equal MAX_PEOPLE_NUM (%d) so voxelpose slots map "
+                    "1:1 onto queries" % (self.num_instance,
+                                          vp.shape[1]))
         else:
             raise ValueError(f"unknown init_ref_method: {method}")
 

@@ -124,24 +124,24 @@ def deform_sample_corner(value: jnp.ndarray,
     instead of four (1, D) gathers.
 
     At production sizes each (view, head) pair gets its OWN standalone
-    (hw, 4D) corner table (built + barriered separately) and its own
-    gather over it. Two measured v5e effects (PERF.md "gather wall",
-    output/probe_bisect_sampler.py):
-      * gathers over a small standalone operand run ~4-5x faster than one
+    corner tables and its own gathers over them, with levels grouped into
+    row-concatenated tables of at most ~8 MB. Measured v5e effects
+    (PERF.md "gather wall", output/probe_gather_cost_model.py):
+      * the gather's per-row cost is set by OPERAND size: ~0.4-1.8 ns/row
+        for operands <= 8 MB, ~8-9 ns/row above ~10 MB (VMEM cliff);
+      * gathers over small standalone operands run ~4-5x faster than one
         batched gather over the whole (N, H, hw, 4D) buffer;
       * slicing a big in-program table per (n, h) — even behind
-        optimization_barrier — costs ~2x the whole op vs building each
-        table as its own buffer (12.9 ms vs 6.7 ms at topk shapes)."""
+        optimization_barrier — costs ~2x vs building each table as its
+        own buffer (probe_bisect_sampler: 12.9 ms vs 6.7 ms);
+      * so levels 1+2 (2.5 MB combined at production shapes) share one
+        table + one gather per (n, h), level 0 (7.7 MB) gets its own."""
     N, Len_in, H, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     unstacked = N * H * Lq * P >= 262144
-    tables = None if unstacked else build_corner_tables(value, spatial_shapes)
-    # (N, H, Len_in, D) view-head-major once; per-level slices reshape to
-    # (N, H, h, w, D) for the per-(n,h) table builds
-    value_hd = jnp.swapaxes(value, 1, 2) if unstacked else None
 
-    out = jnp.zeros((N, H, Lq, D), dtype=value.dtype)
-    start = 0
+    # --- per-level sampling indices / weights (shared by both paths)
+    idxs, wtss, aws = [], [], []
     for lvl, (h, w) in enumerate(spatial_shapes):
         hp, wp = h + 2, w + 2
         loc = sampling_locations[:, :, :, lvl]  # (N, Lq, H, P, 2)
@@ -159,41 +159,94 @@ def deform_sample_corner(value: jnp.ndarray,
         touch = ((x > -1.0) & (x < w) & (y > -1.0) & (y < h))
         xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, wp - 2)
         yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, hp - 2)
-        idx = yi * wp + xi  # (N, H, Lq*P)
+        idxs.append(yi * wp + xi)  # (N, H, Lq*P)
         wts = jnp.stack([
             (1 - lx) * (1 - ly), lx * (1 - ly),
             (1 - lx) * ly, lx * ly], axis=-1)  # (N, H, Lq*P, 4)
-        wts = wts * touch[..., None]
-        aw = jnp.transpose(attention_weights[:, :, :, lvl],
-                           (0, 2, 1, 3)).reshape(N, H, Lq * P)
-        if unstacked:
-            # per-(view, head) standalone tables + small-operand gathers
-            # (see docstring). Only worthwhile at production scale: the
-            # N*H python loop multiplies program size, which slows CPU
-            # compile/AD badly at test shapes while the win is negligible.
-            v_l = jax.lax.dynamic_slice_in_dim(
-                value_hd, start, h * w, axis=2).reshape(N, H, h, w, D)
-            houts = []
-            for n in range(N):
-                for hh in range(H):
-                    tbl = jax.lax.optimization_barrier(
-                        _corner_table_single(v_l[n, hh]))
-                    g = tbl[idx[n, hh]]  # (Lq*P, 4D)
-                    g = g.reshape(Lq * P, 4, D)
-                    sampled = jnp.sum(
-                        g * wts[n, hh][..., None].astype(g.dtype), axis=1)
-                    houts.append(jnp.sum(
-                        (sampled * aw[n, hh][..., None]).reshape(Lq, P, D),
-                        axis=1))
-            lvl_out = jnp.stack(houts).reshape(N, H, Lq, D)
-        else:
-            g = jnp.take_along_axis(tables[lvl], idx[..., None], axis=2)
+        wtss.append(wts * touch[..., None])
+        aws.append(jnp.transpose(attention_weights[:, :, :, lvl],
+                                 (0, 2, 1, 3)).reshape(N, H, Lq * P))
+
+    if not unstacked:
+        tables = build_corner_tables(value, spatial_shapes)
+        out = jnp.zeros((N, H, Lq, D), dtype=value.dtype)
+        for lvl in range(L):
+            g = jnp.take_along_axis(tables[lvl], idxs[lvl][..., None],
+                                    axis=2)
             g = g.reshape(N, H, Lq * P, 4, D)
-            sampled = jnp.sum(g * wts[..., None].astype(g.dtype), axis=3)
-            lvl_out = jnp.sum(
-                (sampled * aw[..., None]).reshape(N, H, Lq, P, D), axis=3)
-        out = out + lvl_out
+            sampled = jnp.sum(
+                g * wtss[lvl][..., None].astype(g.dtype), axis=3)
+            out = out + jnp.sum(
+                (sampled * aws[lvl][..., None]).reshape(N, H, Lq, P, D),
+                axis=3)
+        return jnp.transpose(out, (0, 2, 1, 3)).reshape(N, Lq, H * D)
+
+    # --- production path: per-(view, head) grouped-level tables.
+    # Greedily group consecutive levels while the concatenated corner
+    # table stays under the ~8 MB operand sweet spot.
+    CAP_BYTES = 8 * 2 ** 20
+    itemsize = jnp.dtype(value.dtype).itemsize
+    level_rows = [(h + 2) * (w + 2) for (h, w) in spatial_shapes]
+    groups: List[List[int]] = []
+    cur: List[int] = []
+    cur_bytes = 0
+    for lvl in range(L):
+        b = level_rows[lvl] * 4 * D * itemsize
+        if cur and cur_bytes + b > CAP_BYTES:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(lvl)
+        cur_bytes += b
+    groups.append(cur)
+
+    # (N, H, Len_in, D) view-head-major once; per-level slices reshape to
+    # (N, H, h, w, D) for the per-(n,h) table builds
+    value_hd = jnp.swapaxes(value, 1, 2)
+    v_lvls = []
+    start = 0
+    for (h, w) in spatial_shapes:
+        v_lvls.append(jax.lax.dynamic_slice_in_dim(
+            value_hd, start, h * w, axis=2).reshape(N, H, h, w, D))
         start += h * w
+
+    # pre-concatenate per-group indices/weights (row offsets for levels
+    # after the first in a group)
+    g_idx, g_wts, g_aw = [], [], []
+    for grp in groups:
+        off = 0
+        parts = []
+        for lvl in grp:
+            parts.append(idxs[lvl] + off)
+            off += level_rows[lvl]
+        g_idx.append(jnp.concatenate(parts, axis=-1))  # (N,H,G*LqP)
+        g_wts.append(jnp.concatenate([wtss[lvl] for lvl in grp], axis=2))
+        g_aw.append(jnp.concatenate([aws[lvl] for lvl in grp], axis=-1))
+
+    # NOTE: splitting the 7.7 MB level-0 table into <=4 MB row-chunks with
+    # clamp+masked gathers wins 2x in an isolated microbenchmark but is
+    # ~15% SLOWER in the full op's context (probe_chunks vs in-context
+    # run, 2026-08-16) — kept single-table per group.
+    houts = []
+    for n in range(N):
+        for hh in range(H):
+            acc = None
+            for gi, grp in enumerate(groups):
+                tbl = jnp.concatenate(
+                    [_corner_table_single(v_lvls[lvl][n, hh])
+                     for lvl in grp], axis=0)
+                tbl = jax.lax.optimization_barrier(tbl)
+                G = len(grp)
+                g = tbl[g_idx[gi][n, hh]]  # (G*LqP, 4D)
+                g = g.reshape(G * Lq * P, 4, D)
+                sampled = jnp.sum(
+                    g * g_wts[gi][n, hh][..., None].astype(g.dtype),
+                    axis=1)
+                contrib = jnp.sum(
+                    (sampled * g_aw[gi][n, hh][..., None]).reshape(
+                        G, Lq, P, D), axis=(0, 2))
+                acc = contrib if acc is None else acc + contrib
+            houts.append(acc)
+    out = jnp.stack(houts).reshape(N, H, Lq, D)
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(N, Lq, H * D)
 
 

@@ -75,16 +75,27 @@ def main():
                         restored[1])
 
     for thr in cfg.DECODER.inference_conf_thr:
-        eval_step = make_eval_step(cfg, model, threshold=thr)
-        preds = [None] * len(test_ds)
-        for idx, batch in test_ds.batches(batch_size, shuffle=False,
-                                          drop_last=False):
-            batch = shard_batch(batch, mesh)
-            pred = np.asarray(eval_step(variables["params"],
-                                        variables["batch_stats"], batch))
-            for b, frame_idx in enumerate(idx):
-                preds[frame_idx] = pred[b]
-        preds = [p for p in preds if p is not None]
+        # --- prediction cache: reload per-threshold .npy when present
+        # (validate_3d.py:192-202); fresh runs always save alongside
+        pred_path = os.path.join(
+            out_dir, "{}-{}.npy".format(cfg.TEST.PRED_FILE or "preds", thr))
+        if cfg.TEST.PRED_FILE and os.path.isfile(pred_path):
+            preds = list(np.load(pred_path))
+            logger.info("loaded cached preds from %s", pred_path)
+        else:
+            eval_step = make_eval_step(cfg, model, threshold=thr)
+            preds = [None] * len(test_ds)
+            for idx, batch in test_ds.batches(batch_size, shuffle=False,
+                                              drop_last=False):
+                batch = shard_batch(batch, mesh)
+                pred = np.asarray(eval_step(variables["params"],
+                                            variables["batch_stats"],
+                                            batch))
+                for b, frame_idx in enumerate(idx):
+                    preds[frame_idx] = pred[b]
+            preds = [p for p in preds if p is not None]
+            np.save(pred_path, np.stack(preds))
+            logger.info("saved preds to %s", pred_path)
         if args.save_preds:
             np.save(args.save_preds, np.stack(preds))
 
@@ -93,6 +104,49 @@ def main():
         if isinstance(metrics, dict):
             logger.info("thr=%s  %s", thr,
                         {k: round(v, 4) for k, v in metrics.items()})
+
+            # --- NMS operating-point grid search
+            # (validate_3d.py:218-241; full grid under NMS_DETAIL_ALL)
+            if cfg.DATASET.NMS_DETAIL:
+                if cfg.DATASET.NMS_DETAIL_ALL:
+                    dist_thrs = [0.01, 0.03, 0.05, 0.06, 0.07, 0.08, 0.09,
+                                 0.1, 0.2, 0.3, 0.4, 0.5, 0.8]
+                    nearby_thrs = [3, 4, 5, 6, 7, 8, 9, 10, 13]
+                else:
+                    dist_thrs = [0.3]
+                    nearby_thrs = [7]
+                for d in dist_thrs:
+                    for nb in nearby_thrs:
+                        if (d, nb) == (0.3, 7):
+                            m = metrics  # already computed above
+                        else:
+                            m = test_ds.evaluate(
+                                [apply_pose_nms(p, d, nb) for p in preds])
+                        logger.info(
+                            "nms dist=%.2f nearby=%d  ap25=%.4f "
+                            "ap100=%.4f mpjpe=%.2f recall@500=%.4f",
+                            d, nb, m.get("ap@25", 0.0), m.get("ap@100", 0.0),
+                            m.get("mpjpe", 0.0), m.get("recall@500", 0.0))
+
+            # --- per-camera-observability breakdown
+            # (TEST.CAMERA_DETAIL -> panoptic.py:577-703)
+            if cfg.DATASET.CAMERA_DETAIL:
+                arrays = test_ds.observability_arrays(len(nmsed))
+                if arrays is not None:
+                    from mvgformer_tpu.core.evaluate import \
+                        evaluate_by_observability
+
+                    gts, vis = arrays
+                    obs = evaluate_by_observability(
+                        nmsed, gts, vis, num_views=test_ds.num_views)
+                    for (pct, ncam), m in sorted(obs.items()):
+                        logger.info(
+                            "obs>=%d%% cams=%d  n_gt=%d ap25=%.4f "
+                            "mpjpe=%.2f", pct, ncam, m["num_gt"],
+                            m.get("ap@25", 0.0), m.get("mpjpe", 0.0))
+                else:
+                    logger.info("CAMERA_DETAIL: dataset has no per-view "
+                                "2D visibility; skipped")
         else:
             actor_pcp, avg_pcp, bone_pcp, recall = metrics
             logger.info("thr=%s  PCP per-actor %s avg %.4f recall@500 %.4f",

@@ -107,3 +107,63 @@ class TestShelfDataset:
 def test_cam_list_matches_reference():
     assert CAM_LIST["CMU0"] == [(0, 3), (0, 6), (0, 12), (0, 13), (0, 23)]
     assert len(CAM_LIST["CMU4"]) == 10
+
+
+class TestShelfFinetune:
+    @needs_shelf
+    def test_pseudo_gt_train_frames(self, tmp_path):
+        """Finetune db from a voxelpose pseudo-GT pickle
+        (shelf.py:151-187): 15-joint poses, per-view visibility."""
+        import pickle
+        import shutil
+
+        root = tmp_path / "Shelf"
+        (root / "pesudo_gt").mkdir(parents=True)
+        shutil.copy(osp.join(SHELF_ROOT, "calibration_shelf.json"),
+                    root / "calibration_shelf.json")
+        rng = np.random.RandomState(0)
+        pgt = {}
+        for fi in (0, 1, 2):
+            poses = [rng.randn(15, 3).astype(np.float32) * 100
+                     + np.array([500.0, 500.0, 1000.0], np.float32)
+                     for _ in range(2)]
+            pgt[f"img_{fi:06d}.png"] = poses
+        with open(root / "pesudo_gt" / "vp.pickle", "wb") as f:
+            pickle.dump(pgt, f)
+
+        cfg = _campus_cfg()
+        cfg.DATA_DIR = str(tmp_path)
+        cfg.DATASET.ROOT = "Shelf"
+        cfg.DATASET.TRAIN_DATASET = "shelf"
+        cfg.DATASET.CAMERA_NUM = 5
+        cfg.DATASET.PESUDO_GT = "vp.pickle"
+        ds = ShelfDataset(cfg, "train", is_train=True)
+        assert ds.gt_num_joints == 15
+        # train range is 0-299 + 601-3199; first three frames have gt
+        assert len(ds) == 300 + 3200 - 601
+        f0 = ds.frames[0]
+        assert f0["joints_3d"].shape == (2, 15, 3)
+        assert f0["joints_2d_vis"].shape == (5, 2, 15)
+        # frames without pseudo-gt entries carry empty gt
+        assert ds.frames[10]["joints_3d"].shape == (0, 15, 3)
+        batch = ds.load_batch([0, 10], load_images=False)
+        assert batch.targets.joints_3d.shape[2] == 15
+        assert int(np.asarray(batch.targets.num_person)[0]) == 2
+        assert int(np.asarray(batch.targets.num_person)[1]) == 0
+
+    def test_requires_pseudo_gt_config(self, tmp_path):
+        import json
+        import shutil
+
+        if not osp.isfile(osp.join(SHELF_ROOT, "calibration_shelf.json")):
+            pytest.skip("shelf calibration not available")
+        root = tmp_path / "Shelf"
+        root.mkdir(parents=True)
+        shutil.copy(osp.join(SHELF_ROOT, "calibration_shelf.json"),
+                    root / "calibration_shelf.json")
+        cfg = _campus_cfg()
+        cfg.DATA_DIR = str(tmp_path)
+        cfg.DATASET.ROOT = "Shelf"
+        cfg.DATASET.CAMERA_NUM = 5
+        with pytest.raises(ValueError, match="PESUDO_GT"):
+            ShelfDataset(cfg, "train", is_train=True)

@@ -219,6 +219,38 @@ class TestInitRefMethods:
         outs = model.apply(variables, batch, threshold=0.0)
         assert np.all(np.isfinite(np.asarray(outs[-1]["pred_poses"])))
 
+    def test_voxcel_pose_base(self):
+        """Reference points straight from attached voxelpose predictions
+        (dq_transformer.py:260-263,325-327); num_instance must equal the
+        voxelpose slot count."""
+        import dataclasses
+
+        cfg = small_cfg(**{"DECODER.init_ref_method": "voxcel_pose_base",
+                           "DECODER.num_instance": 4})
+        model = MVGFormer(cfg=cfg)
+        batch = make_batch(cfg, batch_size=1, seed=0, num_people=2)
+        M, J = 4, cfg.NETWORK.NUM_JOINTS
+        vp = np.zeros((1, M, J, 5), np.float32)
+        vp[..., :3] = np.asarray(batch.targets.joints_3d)[:, :M, :J]
+        vp[..., 4] = 0.9
+        batch = dataclasses.replace(
+            batch, targets=dataclasses.replace(batch.targets,
+                                               voxelpose_pred=vp))
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        outs = model.apply(variables, batch, threshold=0.0)
+        assert np.all(np.isfinite(np.asarray(outs[-1]["pred_poses"])))
+
+        # missing preds and mismatched query count both raise
+        batch_no_vp = make_batch(cfg, batch_size=1, seed=0, num_people=2)
+        with pytest.raises(ValueError, match="voxcel_pose_base"):
+            model.apply(variables, batch_no_vp, threshold=0.0)
+        cfg_bad = small_cfg(
+            **{"DECODER.init_ref_method": "voxcel_pose_base",
+               "DECODER.num_instance": 16})
+        model_bad = MVGFormer(cfg=cfg_bad)
+        with pytest.raises(ValueError, match="num_instance"):
+            model_bad.init(jax.random.PRNGKey(0), batch)
+
     def test_gt_noise(self):
         cfg = small_cfg(**{"DECODER.init_ref_method": "gt_noise",
                            "DECODER.init_ref_method_value": 50.0})
