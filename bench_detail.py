@@ -57,11 +57,63 @@ def run_config(name, batch_size=1, topk=None, solver="linalg"):
     return fps
 
 
+def run_train_config(name, batch_size=1, solver="linalg", iters=5):
+    """Training-step throughput (steps/s/chip) at the flagship training
+    config: gt_match dense path, all decoder layers, criterion, backward,
+    clipped Adam. Chained via lax.scan with the TrainState as carry (the
+    state dependency makes iterations sequential; one readback)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvgformer_tpu.config import load_config
+    from mvgformer_tpu.core.train import create_train_state, make_train_step
+    from mvgformer_tpu.data.synthetic import make_batch
+    from mvgformer_tpu.models.mvgformer import MVGFormer
+
+    cfg = load_config()
+    cfg.DECODER.num_instance = 1024
+    cfg.DATASET.CAMERA_NUM = 5
+    cfg.NETWORK.IMAGE_SIZE = [960, 512]
+    cfg.DECODER.gt_match = True
+    cfg.DECODER.triangulation_method = solver
+
+    model = MVGFormer(cfg=cfg)
+    batch = make_batch(cfg, batch_size=batch_size, seed=0, num_people=3)
+    state, tx = create_train_state(cfg, model, batch, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, model, tx, donate=False)
+
+    @jax.jit
+    def chained(state, batch, rng):
+        def body(carry, _):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            st, metrics = step_fn(st, batch, sub)
+            return (st, r), metrics["total"]
+
+        (st, _), totals = jax.lax.scan(body, (state, rng), None,
+                                       length=iters)
+        return jnp.sum(totals)
+
+    rng = jax.random.PRNGKey(1)
+    float(chained(state, batch, rng))
+    start = time.perf_counter()
+    float(chained(state, batch, rng))
+    sps = batch_size * iters / (time.perf_counter() - start)
+    print(json.dumps({"config": name,
+                      "train_steps_per_sec_per_chip": round(sps, 4),
+                      "frames_per_sec_per_chip": round(sps * batch_size,
+                                                       4)}),
+          flush=True)
+    return sps
+
+
 def main():
     run_config("topk256_jacobi_b1", topk=256, solver="jacobi")
     run_config("topk256_svd_b1", topk=256, solver="linalg")
     run_config("dense_jacobi_b1", topk=None, solver="jacobi")
     run_config("topk256_jacobi_b2", batch_size=2, topk=256, solver="jacobi")
+    run_train_config("train_gtmatch_linalg_b1", solver="linalg")
+    run_train_config("train_gtmatch_jacobi_b1", solver="jacobi")
 
 
 if __name__ == "__main__":

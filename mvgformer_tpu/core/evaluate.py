@@ -5,6 +5,13 @@ greedy matching): Panoptic evaluate (/root/reference/lib/dataset/
 panoptic.py:493-764), Shelf/Campus PCP (lib/dataset/shelf.py:255-332). The
 inputs are the per-frame (Q, J, 5) prediction arrays ([x, y, z, flag, score])
 produced by core.train.make_eval_step, after optional pose NMS.
+
+Provenance: `eval_list_to_ap` / `eval_list_to_mpjpe` / `eval_list_to_recall`
+(mirroring panoptic.py:711-764) and the PCP evaluator (mirroring
+shelf.py:255-332) are deliberate line-faithful ports of order-sensitive
+METRIC-PROTOCOL definitions — SURVEY.md §7 "evaluation parity" mandates the
+identical algorithm, since a semantic rewrite risks silently changing the
+reported numbers. Everything else in this file is an original rebuild.
 """
 
 from __future__ import annotations

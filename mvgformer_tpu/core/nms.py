@@ -3,6 +3,13 @@
 The reference's eval post-processing is order-sensitive greedy NMS
 (/root/reference/lib/core/nms.py:210-284); it stays on the host, outside
 jit, exactly as the reference runs it on CPU after collecting predictions.
+
+Provenance: this is a deliberate line-faithful port of an order-sensitive
+METRIC-PROTOCOL definition (SURVEY.md §7 "evaluation parity" mandates the
+identical algorithm — a semantic rewrite risks silent eval divergence).
+The reference's `nearby_joints_nms` is itself vendored from mmpose
+(open-mmlab/mmpose, `nearby_joints_nms` in
+mmpose/evaluation/functional/nms.py, Apache-2.0).
 """
 
 from __future__ import annotations

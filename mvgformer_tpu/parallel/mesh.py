@@ -58,26 +58,32 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data",
     `axis_name` and, when `view_axis` is given and present in the mesh, the
     second (view) dim sharded over it. Scalar/0-d leaves are replicated.
 
-    Note: only per-view leaves (views, cameras, affines) have a view dim at
-    axis 1; target leaves (people dim at axis 1) must stay replicated on
-    that axis, so view sharding is applied only to rank>=4 leaves plus the
-    (B, V, 2) camera scalars — a structural heuristic that matches the
-    Batch pytree layout (data/meta.py).
+    Placement is EXPLICIT per top-level field of the Batch dataclass
+    (data/meta.py): every leaf under `views` or `view_data` is laid out
+    (B, V, ...) and shards (data, view); every leaf under `targets` is
+    (B, ...) with a people dim (not views) at axis 1 and shards (data,)
+    only. A new Batch field must be placed here deliberately — unknown
+    roots raise instead of silently inheriting a wrong sharding.
     """
     data = batch_sharding(mesh, axis_name)
     repl = replicated(mesh)
     use_view = view_axis is not None and view_axis in mesh.axis_names
 
-    def place_views(path, x):
+    def place(path, x):
         x = np.asarray(x) if not hasattr(x, "ndim") else x
         nd = getattr(x, "ndim", 0)
         if nd == 0:
             return jax.device_put(x, repl)
-        keys = [getattr(p, "name", getattr(p, "key", "")) for p in path]
-        is_target = any("targets" in str(k) for k in keys)
-        if use_view and nd >= 2 and not is_target and nd != 2:
-            spec = [axis_name, view_axis] + [None] * (nd - 2)
-            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
-        return jax.device_put(x, data)
+        root = str(getattr(path[0], "name", getattr(path[0], "key", "")))
+        if root in ("views", "view_data"):
+            if use_view:
+                spec = [axis_name, view_axis] + [None] * (nd - 2)
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+            return jax.device_put(x, data)
+        if root == "targets":
+            return jax.device_put(x, data)
+        raise ValueError(
+            f"shard_batch: unplaced Batch field {root!r} — add an explicit "
+            "placement rule for it in parallel/mesh.py")
 
-    return jax.tree_util.tree_map_with_path(place_views, batch)
+    return jax.tree_util.tree_map_with_path(place, batch)

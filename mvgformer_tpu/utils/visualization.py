@@ -144,8 +144,14 @@ def visualize_frame(out_dir: str, frame_id: int, batch, pred,
         for lid, lo in enumerate(layer_outputs):
             p2d = np.asarray(lo["pred_poses_2d"])[b]  # (V, Q*J, 2)
             V = p2d.shape[0]
-            nz = [p2d[v].reshape(-1, kept.shape[1] if kept.size else 15, 2)
-                  for v in range(V)]
+            J = kept.shape[1] if kept.size else 15
+            # per-layer refined-2D overlays, active poses only (zeros are
+            # the masked-out queries' scatter slots)
+            per_view = []
+            for v in range(V):
+                poses = p2d[v].reshape(-1, J, 2)
+                active = np.abs(poses).sum(axis=(1, 2)) > 0
+                per_view.append(poses[active])
             save_view_grid(
                 os.path.join(out_dir, f"{frame_id}_layer{lid}_views.png"),
-                views, None)
+                views, per_view)

@@ -32,6 +32,12 @@ def parse_args():
 
 def main():
     import jax
+
+    # honored before first backend use; unlike the JAX_PLATFORMS env var,
+    # this cannot be rewritten by the environment's sitecustomize
+    if os.environ.get("MVGFORMER_FORCE_PLATFORM"):
+        jax.config.update("jax_platforms",
+                          os.environ["MVGFORMER_FORCE_PLATFORM"])
     import numpy as np
 
     from mvgformer_tpu.config import load_config
@@ -40,6 +46,7 @@ def main():
     from mvgformer_tpu.core.train import (create_train_state,
                                           make_eval_step, make_train_step)
     from mvgformer_tpu.data.datasets import get_dataset
+    from mvgformer_tpu.data.prefetch import Prefetcher
     from mvgformer_tpu.models.mvgformer import MVGFormer
     from mvgformer_tpu.parallel import make_mesh, shard_batch
     from mvgformer_tpu.utils.checkpoint import (PreemptionGuard,
@@ -98,13 +105,18 @@ def main():
     for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
         meter = MetricLogger()
         t_epoch = time.time()
-        for step, (idx, batch) in enumerate(train_ds.batches(
-                global_batch, shuffle=cfg.TRAIN.SHUFFLE,
-                seed=cfg.TRAIN.SEED + epoch)):
+        # background prefetch: image load + warp + sharded device_put run
+        # on a producer thread, double-buffered, overlapping the step
+        # (replaces DataLoader workers, run/train_3d.py:216-238)
+        loader = Prefetcher(
+            train_ds.batches(global_batch, shuffle=cfg.TRAIN.SHUFFLE,
+                             seed=cfg.TRAIN.SEED + epoch),
+            place_fn=lambda b: shard_batch(b, mesh))
+        for step, (idx, batch) in enumerate(loader):
             rng, sub = jax.random.split(rng)
-            batch = shard_batch(batch, mesh)
             state, metrics = train_step(state, batch, sub)
             meter.update({k: float(v) for k, v in metrics.items()})
+            meter.update({"data_wait_s": loader.last_wait_s})
             total_steps += 1
             if step % cfg.PRINT_FREQ == 0:
                 logger.info("epoch %d step %d | %s", epoch, step,
@@ -122,9 +134,10 @@ def main():
 
         # ---- per-epoch eval (run/train_3d.py:309-399)
         preds = []
-        for idx, batch in test_ds.batches(global_batch, shuffle=False,
-                                          drop_last=False):
-            batch = shard_batch(batch, mesh)
+        for idx, batch in Prefetcher(
+                test_ds.batches(global_batch, shuffle=False,
+                                drop_last=False),
+                place_fn=lambda b: shard_batch(b, mesh)):
             pred = np.asarray(eval_step(state.params, state.batch_stats,
                                         batch))
             for b, frame_idx in enumerate(idx):

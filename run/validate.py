@@ -32,6 +32,12 @@ def parse_args():
 
 def main():
     import jax
+
+    # honored before first backend use; unlike the JAX_PLATFORMS env var,
+    # this cannot be rewritten by the environment's sitecustomize
+    if os.environ.get("MVGFORMER_FORCE_PLATFORM"):
+        jax.config.update("jax_platforms",
+                          os.environ["MVGFORMER_FORCE_PLATFORM"])
     import numpy as np
 
     from mvgformer_tpu.config import load_config
@@ -83,11 +89,14 @@ def main():
             preds = list(np.load(pred_path))
             logger.info("loaded cached preds from %s", pred_path)
         else:
+            from mvgformer_tpu.data.prefetch import Prefetcher
+
             eval_step = make_eval_step(cfg, model, threshold=thr)
             preds = [None] * len(test_ds)
-            for idx, batch in test_ds.batches(batch_size, shuffle=False,
-                                              drop_last=False):
-                batch = shard_batch(batch, mesh)
+            for idx, batch in Prefetcher(
+                    test_ds.batches(batch_size, shuffle=False,
+                                    drop_last=False),
+                    place_fn=lambda b: shard_batch(b, mesh)):
                 pred = np.asarray(eval_step(variables["params"],
                                             variables["batch_stats"],
                                             batch))

@@ -11,6 +11,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _run(script, *args):
     env = dict(os.environ)
+    # the axon sitecustomize rewrites JAX_PLATFORMS at import; the run
+    # scripts honor this dedicated override via jax.config.update instead
+    # (the tests/conftest.py recipe)
+    env["MVGFORMER_FORCE_PLATFORM"] = "cpu"
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
     return subprocess.run(
