@@ -251,8 +251,14 @@ class ParallelConfig:
     COMPUTE_DTYPE: str = "bfloat16"
     # parameter dtype
     PARAM_DTYPE: str = "float32"
-    # rematerialize the backbone during training to save HBM
+    # rematerialize the backbone during training to save HBM (moot while
+    # the backbone is frozen: its features are stop-gradiented, so no
+    # backbone activations are kept for backward anyway)
     REMAT_BACKBONE: bool = True
+    # rematerialize each decoder layer in the training backward pass:
+    # the flagship train step otherwise exceeds v5e HBM (19.6G vs 15.75G
+    # measured; see PERF.md "training memory")
+    REMAT_DECODER: bool = True
 
 
 @dataclass

@@ -373,6 +373,10 @@ class DQDecoder(nn.Module):
     share_layer_weights: bool = False
     num_joints: int = 15
     layer_kwargs: dict = None
+    # rematerialize each layer in the training backward pass — the
+    # flagship train step otherwise exceeds v5e HBM (PERF.md "training
+    # memory"); inference is unaffected
+    remat: bool = False
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src_views,
@@ -392,11 +396,25 @@ class DQDecoder(nn.Module):
         for lid in range(self.num_layers):
             layer = shared if shared is not None else DQDecoderLayer(
                 name=f"layer_{lid}", **kw)
-            out, refs, ref2d, projs2d, class_prob = layer(
-                out, qpos, refs, src_views, spatial_shapes, view_data,
-                query_mask=qmask, threshold=threshold,
-                filter_method=filter_method, train=train,
-                triangulate_topk=(topk_queries if lid == 0 else None))
+            tk = topk_queries if lid == 0 else None
+            if self.remat and train:
+                def body(mdl, out_, qpos_, refs_, view_data_, qmask_,
+                         *src, _tk=tk):
+                    return DQDecoderLayer.__call__(
+                        mdl, out_, qpos_, refs_, list(src), spatial_shapes,
+                        view_data_, query_mask=qmask_, threshold=threshold,
+                        filter_method=filter_method, train=train,
+                        triangulate_topk=_tk)
+
+                out, refs, ref2d, projs2d, class_prob = nn.remat(
+                    body, prevent_cse=True)(
+                    layer, out, qpos, refs, view_data, qmask, *src_views)
+            else:
+                out, refs, ref2d, projs2d, class_prob = layer(
+                    out, qpos, refs, src_views, spatial_shapes, view_data,
+                    query_mask=qmask, threshold=threshold,
+                    filter_method=filter_method, train=train,
+                    triangulate_topk=tk)
             if sel is None:
                 outputs.append({"hs": out, "refs": refs, "refs_2d": ref2d,
                                 "projs_2d": projs2d,

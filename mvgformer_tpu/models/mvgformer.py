@@ -138,6 +138,7 @@ class MVGFormer(nn.Module):
             num_layers=dec.num_decoder_layers,
             share_layer_weights=dec.share_layer_weights,
             num_joints=dec.num_keypoints,
+            remat=self.cfg.PARALLEL.REMAT_DECODER,
             layer_kwargs=dict(
                 d_model=dec.d_model,
                 d_ffn=dec.dim_feedforward,
@@ -221,6 +222,11 @@ class MVGFormer(nn.Module):
         feats = self.backbone(imgs.astype(self.compute_dtype),
                               use_feat_level=self.use_feat_level)
         feats = feats[::-1]  # finest-first
+        # the backbone is architecturally frozen (reference
+        # run/train_3d.py:118-121, dq_transformer.py:763-766): cutting the
+        # gradient here lets XLA skip the whole backbone backward and free
+        # its activations instead of holding them for the train step
+        feats = [jax.lax.stop_gradient(f) for f in feats]
         spatial_shapes = tuple(
             (int(f.shape[1]), int(f.shape[2])) for f in feats)
 

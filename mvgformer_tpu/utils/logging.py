@@ -70,3 +70,64 @@ class MetricLogger:
         keys = keys or sorted(self.meters)
         return " ".join(f"{k}={self.meters[k].avg:.4f}" for k in keys
                         if k in self.meters)
+
+
+class ExperimentTracker:
+    """Lightweight experiment tracking: JSONL event stream + summary.
+
+    Capability-parity stand-in for the reference's wandb integration
+    (/root/reference/run/train_3d.py:172-182 summary metrics,
+    lib/core/function.py:270-318 per-iter/per-epoch dicts) without a
+    network service: every `log` call appends one JSON line to
+    metrics.jsonl, and max/min summary metrics (AP25 / Recall25 maximize,
+    MPJPE minimize — run/train_3d.py:176-181) are folded into
+    summary.json as training progresses.
+    """
+
+    MAXIMIZE = ("ap", "recall", "precision")
+    MINIMIZE = ("mpjpe", "loss")
+
+    def __init__(self, out_dir: str, run_name: str = "",
+                 config: Dict = None):
+        import json
+
+        self._json = json
+        self.path = os.path.join(out_dir, "metrics.jsonl")
+        self.summary_path = os.path.join(out_dir, "summary.json")
+        self.summary: Dict[str, float] = {}
+        self._t0 = time.time()
+        if config is not None:
+            with open(os.path.join(out_dir, "run_config.json"), "w") as f:
+                json.dump({"run_name": run_name, "config": config}, f,
+                          indent=1, default=str)
+
+    def _is_better(self, key: str, new: float, old: float) -> bool:
+        k = key.lower()
+        if any(s in k for s in self.MINIMIZE):
+            return new < old
+        if any(s in k for s in self.MAXIMIZE):
+            return new > old
+        return False
+
+    def log(self, metrics: Dict[str, float], step: int = None,
+            epoch: int = None, prefix: str = ""):
+        rec = {"t": round(time.time() - self._t0, 3)}
+        if step is not None:
+            rec["step"] = int(step)
+        if epoch is not None:
+            rec["epoch"] = int(epoch)
+        for k, v in metrics.items():
+            key = f"{prefix}{k}"
+            try:
+                v = float(v)
+            except (TypeError, ValueError):
+                continue
+            rec[key] = v
+            best_key = f"best_{key}"
+            if best_key not in self.summary or self._is_better(
+                    key, v, self.summary[best_key]):
+                self.summary[best_key] = v
+        with open(self.path, "a") as f:
+            f.write(self._json.dumps(rec) + "\n")
+        with open(self.summary_path, "w") as f:
+            self._json.dump(self.summary, f, indent=1)

@@ -53,12 +53,19 @@ def main():
                                                 load_backbone_pretrained,
                                                 load_checkpoint,
                                                 save_checkpoint)
-    from mvgformer_tpu.utils.logging import create_logger, MetricLogger
+    from mvgformer_tpu.utils.logging import (create_logger, ExperimentTracker,
+                                             MetricLogger)
 
     args, overrides = parse_args()
     cfg = load_config(args.cfg, overrides)
     logger, out_dir = create_logger(cfg, args.cfg, phase="train")
     logger.info("devices: %s", jax.devices())
+    # JSONL experiment tracking (capability parity with the reference's
+    # wandb summary metrics + per-iter dicts, run/train_3d.py:172-182)
+    import dataclasses as _dc
+
+    tracker = ExperimentTracker(out_dir, run_name=os.path.basename(args.cfg),
+                                config=_dc.asdict(cfg))
 
     train_ds = get_dataset(cfg, cfg.DATASET.TRAIN_SUBSET, is_train=True)
     test_ds = get_dataset(cfg, cfg.DATASET.TEST_SUBSET, is_train=False)
@@ -121,6 +128,8 @@ def main():
             if step % cfg.PRINT_FREQ == 0:
                 logger.info("epoch %d step %d | %s", epoch, step,
                             meter.format())
+                tracker.log({k: m.avg for k, m in meter.meters.items()},
+                            step=total_steps, epoch=epoch, prefix="train/")
             if args.max_steps and total_steps >= args.max_steps:
                 break
             if guard.should_stop:
@@ -157,6 +166,10 @@ def main():
                         epoch, actor_pcp, avg_pcp, recall)
             precision = avg_pcp
 
+        if isinstance(metrics, dict):
+            tracker.log(metrics, epoch=epoch, prefix="eval/")
+        else:
+            tracker.log({"pcp_avg": precision}, epoch=epoch, prefix="eval/")
         is_best = precision > best_precision
         best_precision = max(best_precision, precision)
         save_checkpoint(ckpt_dir, state, epoch, precision, is_best)

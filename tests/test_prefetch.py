@@ -59,3 +59,24 @@ def test_shard_batch_places_known_fields():
     assert sharded.views.shape == batch.views.shape
     np.testing.assert_allclose(np.asarray(sharded.targets.joints_3d),
                                np.asarray(batch.targets.joints_3d))
+
+
+class TestExperimentTracker:
+    def test_jsonl_and_summary(self, tmp_path):
+        import json
+
+        from mvgformer_tpu.utils.logging import ExperimentTracker
+
+        tr = ExperimentTracker(str(tmp_path), run_name="t",
+                               config={"a": 1})
+        tr.log({"loss": 2.0, "ap@25": 0.5}, step=1, epoch=0, prefix="x/")
+        tr.log({"loss": 1.0, "ap@25": 0.4}, step=2, epoch=0, prefix="x/")
+        lines = [json.loads(l) for l in
+                 open(tmp_path / "metrics.jsonl").read().splitlines()]
+        assert len(lines) == 2 and lines[0]["x/loss"] == 2.0
+        summary = json.load(open(tmp_path / "summary.json"))
+        # loss minimized, ap maximized (run/train_3d.py:176-181)
+        assert summary["best_x/loss"] == 1.0
+        assert summary["best_x/ap@25"] == 0.5
+        assert json.load(open(tmp_path / "run_config.json"))[
+            "config"]["a"] == 1

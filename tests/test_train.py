@@ -31,13 +31,16 @@ class TestTrainStep:
 
         rng = jax.random.PRNGKey(1)
         losses = []
-        for i in range(8):
+        for i in range(16):
             rng, sub = jax.random.split(rng)
             state, metrics = step(state, batch, sub)
             losses.append(float(metrics["total"]))
         assert np.isfinite(losses).all()
         # overfitting a single synthetic batch must reduce the loss
+        # (16 steps: ~3% on CPU; 8 steps sat borderline at the 2% bar
+        # and flipped with toolchain-level numeric drift)
         assert losses[-1] < losses[0] * 0.98, losses
+        assert all(b < a for a, b in zip(losses, losses[1:])), losses
 
         backbone_after = jax.tree_util.tree_leaves(
             state.params["backbone"])[0]
@@ -70,6 +73,50 @@ class TestTrainStep:
         assert pred.shape == (2, Q, J, 5)
         assert set(np.unique(pred[..., 3])) <= {-1.0, 0.0}
         assert (pred[..., 4] >= 0).all() and (pred[..., 4] <= 1).all()
+
+
+class TestRemat:
+    def test_remat_decoder_matches_no_remat(self):
+        """nn.remat on the decoder layers trades recompute for HBM in the
+        backward pass (flagship train step OOMs without it, PERF.md
+        "training memory") — it must not change the math: one train step
+        with REMAT_DECODER on/off from identical init must agree."""
+        from mvgformer_tpu.core.criterion import compute_losses, \
+            match_queries
+
+        results = {}
+        for remat in (False, True):
+            cfg = small_cfg()
+            cfg.PARALLEL.REMAT_DECODER = remat
+            model = MVGFormer(cfg=cfg)
+            batch = make_batch(cfg, batch_size=1, seed=0, num_people=2)
+            state, tx = create_train_state(cfg, model, batch,
+                                           jax.random.PRNGKey(0))
+
+            def loss_only(params, b, model=model, state=state, cfg=cfg):
+                match = match_queries(
+                    cfg, model.initial_reference_points_static(1), b)
+                outs = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    b, query_mask=match.query_mask, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(7)})
+                return compute_losses(cfg, outs, b, match)["total"]
+
+            loss, grads = jax.jit(jax.value_and_grad(loss_only))(
+                state.params, batch)
+            results[remat] = (float(loss), jax.tree_util.tree_leaves(
+                grads["decoder"]))
+        # forward (and the dropout-mask replay) must be bit-equivalent
+        np.testing.assert_allclose(results[False][0], results[True][0],
+                                   rtol=1e-6)
+        # backward recompute reassociates f32 reductions; through the
+        # ill-conditioned SVD-triangulation gradient that amplifies to
+        # ~2e-3 of leaf scale (measured; a dropout-replay or structural
+        # bug would show up as O(1) differences)
+        for x, y in zip(results[False][1], results[True][1]):
+            x, y = np.asarray(x), np.asarray(y)
+            scale = max(np.abs(x).max(), 1e-3)
+            np.testing.assert_allclose(x, y, rtol=1e-2, atol=3e-3 * scale)
 
 
 class TestMeshTraining:
