@@ -14,7 +14,8 @@ import time
 ITERS = 20
 
 
-def run_config(name, batch_size=1, topk=None, solver="linalg"):
+def run_config(name, batch_size=1, topk=None, solver="linalg",
+               windowed=False):
     import jax
     import jax.numpy as jnp
 
@@ -33,6 +34,11 @@ def run_config(name, batch_size=1, topk=None, solver="linalg"):
     model = MVGFormer(cfg=cfg)
     batch = make_batch(cfg, batch_size=batch_size, seed=0, num_people=3)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    window_plan = None
+    if windowed:
+        from mvgformer_tpu.models.mvgformer import build_layer1_window_plan
+
+        window_plan = build_layer1_window_plan(cfg, batch.view_data)
 
     @jax.jit
     def chained(params, batch_stats, batch):
@@ -40,7 +46,8 @@ def run_config(name, batch_size=1, topk=None, solver="linalg"):
             b = dataclasses.replace(batch, views=batch.views + eps)
             outs = model.apply({"params": params,
                                 "batch_stats": batch_stats},
-                               b, threshold=threshold)
+                               b, threshold=threshold,
+                               window_plan=window_plan)
             return (jnp.sum(outs[-1]["pred_poses"]).astype(jnp.float32)
                     * 0.0, None)
 
@@ -108,12 +115,15 @@ def run_train_config(name, batch_size=1, solver="linalg", iters=5):
 
 
 def main():
+    run_config("topk256_jacobi_windowed_b1", topk=256, solver="jacobi",
+               windowed=True)
     run_config("topk256_jacobi_b1", topk=256, solver="jacobi")
     run_config("topk256_svd_b1", topk=256, solver="linalg")
+    run_config("dense_jacobi_windowed_b1", topk=None, solver="jacobi",
+               windowed=True)
     run_config("dense_jacobi_b1", topk=None, solver="jacobi")
     run_config("topk256_jacobi_b2", batch_size=2, topk=256, solver="jacobi")
     run_train_config("train_gtmatch_linalg_b1", solver="linalg")
-    run_train_config("train_gtmatch_jacobi_b1", solver="jacobi")
 
 
 if __name__ == "__main__":

@@ -163,6 +163,16 @@ class DecoderConfig:
     # Queries dropped here cannot re-enter, unlike the reference's
     # zeroed-but-still-attending filtered queries; None disables.
     inference_topk_queries: Optional[int] = None
+    # TPU-native inference fast path: layer-1 deformable sampling via
+    # rig-static tile bucketing + blocked MXU einsums instead of
+    # per-sample gathers (ops/window_sampling.py). Exact while learned
+    # offsets stay within `layer1_window_halo - 2` px of the projected
+    # grid centers (always true at offset init); escaped samples read
+    # zero and their weight mass is tracked as telemetry. The eval loop
+    # builds the plan from the first batch's cameras (one rig per run).
+    layer1_windowed_sampling: bool = False
+    layer1_window_halo: Optional[int] = None  # default dec_n_points + 2
+    layer1_window_tile: int = 8
 
 
 @dataclass

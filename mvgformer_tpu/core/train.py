@@ -151,14 +151,17 @@ def make_train_step(cfg: Config, model: MVGFormer,
     return jax.jit(train_step, donate_argnums=donate_argnums)
 
 
-def make_eval_step(cfg: Config, model: MVGFormer, threshold: float):
+def make_eval_step(cfg: Config, model: MVGFormer, threshold: float,
+                   window_plan=None):
     """Jitted inference step returning the reference's pred array
     (lib/core/function.py:386-394): (B, Q, J, 5) = xyz | (score>thr)-1 |
-    score."""
+    score. window_plan: optional rig-static layer-1 sampling plan
+    (build_layer1_window_plan); a compile-time constant."""
 
     def eval_step(params, batch_stats, batch: Batch):
         outs = model.apply({"params": params, "batch_stats": batch_stats},
-                           batch, threshold=threshold)
+                           batch, threshold=threshold,
+                           window_plan=window_plan)
         out = outs[-1]
         B, Q = out["pred_logits"].shape[:2]
         poses = out["pred_poses"].reshape(B, Q, -1, 3)

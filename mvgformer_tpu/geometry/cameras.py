@@ -50,17 +50,35 @@ class CameraParams:
         return self.R.shape[:-2]
 
 
+def _rot_apply(R: jnp.ndarray, d: jnp.ndarray,
+               transpose: bool = False) -> jnp.ndarray:
+    """Apply a (..., 3, 3) rotation to (..., N, 3) points, scalarized.
+
+    A (3,3)@(3,N) batched matmul pads its 3-row operands to MXU tiles and
+    costs ~3 ms/layer at production N (PERF.md roadmap item 0); nine
+    explicit broadcast products run at VPU/bandwidth speed and keep f32
+    accumulation (the 3-term sums associate left-to-right, within the
+    1e-4 oracle tolerance of the Precision.HIGHEST matmul)."""
+    cols = [d[..., 0], d[..., 1], d[..., 2]]  # each (..., N)
+
+    def row(i):
+        r = [R[..., j, i, None] if transpose else R[..., i, j, None]
+             for j in range(3)]
+        return r[0] * cols[0] + r[1] * cols[1] + r[2] * cols[2]
+
+    return jnp.stack([row(0), row(1), row(2)], axis=-1)
+
+
 def world_to_camera(x: jnp.ndarray, cam: CameraParams) -> jnp.ndarray:
     """(..., N, 3) world points -> camera frame. cameras.py:225-238."""
-    # x_cam = R (x - T):   (...,3,3) @ (...,3,N) -> (...,3,N)
-    xt = jnp.swapaxes(x, -1, -2) - cam.T
-    return jnp.swapaxes(_mm(cam.R, xt), -1, -2)
+    # x_cam = R (x - T)
+    return _rot_apply(cam.R, x - jnp.swapaxes(cam.T, -1, -2))
 
 
 def camera_to_world(x: jnp.ndarray, cam: CameraParams) -> jnp.ndarray:
     """(..., N, 3) camera points -> world frame. cameras.py:241-255."""
-    xt = _mm(jnp.swapaxes(cam.R, -1, -2), jnp.swapaxes(x, -1, -2)) + cam.T
-    return jnp.swapaxes(xt, -1, -2)
+    return (_rot_apply(cam.R, x, transpose=True)
+            + jnp.swapaxes(cam.T, -1, -2))
 
 
 def _distort(y: jnp.ndarray, cam: CameraParams) -> jnp.ndarray:

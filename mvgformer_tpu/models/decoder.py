@@ -53,6 +53,46 @@ def with_pos_embed(x, pos):
     return x if pos is None else x + pos
 
 
+def project_reference_points(reference_points: jnp.ndarray,
+                             view_data: ViewData,
+                             spatial_shapes,
+                             img_size,
+                             detach: bool = True):
+    """3D refs -> per-view normalized net-image points + bounds mask.
+
+    reference_points: (B, Nq, 3) absolute mm.
+    Returns (ref2d_norm (B,V,Nq,2), ref2d_lvl (B,V,Nq,L,2), bounds
+    (B,V,Nq)). Mirrors dq_decoder.py:331-397 with the per-item cv2 call
+    replaced by the precomputed batched affine. Module-level so the
+    windowed-sampling plan builder (ops/window_sampling.py) can reuse the
+    exact same math for the static layer-1 centers."""
+    refs = reference_points
+    if detach:
+        refs = jax.lax.stop_gradient(refs)
+    B, Nq, _ = refs.shape
+    x = jnp.broadcast_to(refs[:, None], (B, view_data.num_views, Nq, 3))
+    pix = project_points(x.astype(jnp.float32), view_data.cameras)
+
+    wh = view_data.centers * 2.0  # (B, V, 2); dq_decoder.py:374
+    bounds = ((pix[..., 0] >= 0) & (pix[..., 1] >= 0)
+              & (pix[..., 0] < wh[..., 0:1])
+              & (pix[..., 1] < wh[..., 1:2]))
+    # per-view scalar clamp hi = wh.max() over (batch, 2) — the reference
+    # clamps with the current view's scalar max (dq_decoder.py:383)
+    hi = jnp.max(wh, axis=(0, 2))  # (V,)
+    pix = jnp.clip(pix, -1.0, hi[None, :, None, None])
+
+    net = apply_affine(pix, view_data.affine)
+    img_wh = jnp.asarray(img_size, dtype=jnp.float32)
+    norm = net / img_wh
+
+    shapes = jnp.asarray(spatial_shapes, dtype=jnp.float32)  # (L, (h,w))
+    whl = shapes[:, ::-1]  # (L, 2) = (w, h)
+    # per-level S/(S-1) expansion (dq_decoder.py:570-573)
+    lvl = norm[..., None, :] * (whl / (whl - 1.0))
+    return norm, lvl, bounds
+
+
 class DQDecoderLayer(nn.Module):
     """One iterative-geometry decoder layer (dense-masked)."""
 
@@ -82,38 +122,10 @@ class DQDecoderLayer(nn.Module):
                            view_data: ViewData,
                            spatial_shapes) -> Tuple[jnp.ndarray, jnp.ndarray,
                                                     jnp.ndarray]:
-        """3D refs -> per-view normalized net-image points + bounds mask.
-
-        reference_points: (B, Nq, 3) absolute mm.
-        Returns (ref2d_norm (B,V,Nq,2), ref2d_lvl (B,V,Nq,L,2), bounds
-        (B,V,Nq)). Mirrors dq_decoder.py:331-397 with the per-item cv2 call
-        replaced by the precomputed batched affine.
-        """
-        refs = reference_points
-        if self.detach_refpoints:
-            refs = jax.lax.stop_gradient(refs)
-        B, Nq, _ = refs.shape
-        x = jnp.broadcast_to(refs[:, None], (B, view_data.num_views, Nq, 3))
-        pix = project_points(x.astype(jnp.float32), view_data.cameras)
-
-        wh = view_data.centers * 2.0  # (B, V, 2); dq_decoder.py:374
-        bounds = ((pix[..., 0] >= 0) & (pix[..., 1] >= 0)
-                  & (pix[..., 0] < wh[..., 0:1])
-                  & (pix[..., 1] < wh[..., 1:2]))
-        # per-view scalar clamp hi = wh.max() over (batch, 2) — the reference
-        # clamps with the current view's scalar max (dq_decoder.py:383)
-        hi = jnp.max(wh, axis=(0, 2))  # (V,)
-        pix = jnp.clip(pix, -1.0, hi[None, :, None, None])
-
-        net = apply_affine(pix, view_data.affine)
-        img_wh = jnp.asarray(self.img_size, dtype=jnp.float32)
-        norm = net / img_wh
-
-        shapes = jnp.asarray(spatial_shapes, dtype=jnp.float32)  # (L, (h,w))
-        whl = shapes[:, ::-1]  # (L, 2) = (w, h)
-        # per-level S/(S-1) expansion (dq_decoder.py:570-573)
-        lvl = norm[..., None, :] * (whl / (whl - 1.0))
-        return norm, lvl, bounds
+        """See project_reference_points (module level)."""
+        return project_reference_points(
+            reference_points, view_data, spatial_shapes, self.img_size,
+            detach=self.detach_refpoints)
 
     def update_feature(self, tgt, attn_mean, query_pos, train: bool):
         """Fuse attended features into query features (dq_decoder.py:763-848).
@@ -175,7 +187,8 @@ class DQDecoderLayer(nn.Module):
                  threshold: float = 0.5,
                  filter_method: str = "threshold",
                  train: bool = False,
-                 triangulate_topk: Optional[int] = None):
+                 triangulate_topk: Optional[int] = None,
+                 window_plan=None):
         """
         Args:
             tgt:              (B, Nq, C) query features, Nq = Q * J.
@@ -222,7 +235,8 @@ class DQDecoderLayer(nn.Module):
                         n_heads=self.n_heads, n_points=self.n_points,
                         posembed_mode=self.posembed_mode, dtype=self.dtype,
                         name="proj_attn")(
-            q_fold, ref_fold, src_views, spatial_shapes)
+            q_fold, ref_fold, src_views, spatial_shapes,
+            window_plan=window_plan)
         attn = attn.reshape(V, B, Nq, C)
         # zero features whose projection fell outside the image (:585-588)
         attn = attn * jnp.swapaxes(bounds, 0, 1)[..., None].astype(attn.dtype)
@@ -381,7 +395,8 @@ class DQDecoder(nn.Module):
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src_views,
                  spatial_shapes, view_data, query_mask=None, threshold=0.5,
-                 filter_method="threshold", train=False, topk_queries=None):
+                 filter_method="threshold", train=False, topk_queries=None,
+                 window_plan=None):
         kw = dict(self.layer_kwargs or {})
         J = self.num_joints
         Q = tgt.shape[1] // J
@@ -414,7 +429,11 @@ class DQDecoder(nn.Module):
                     out, qpos, refs, src_views, spatial_shapes, view_data,
                     query_mask=qmask, threshold=threshold,
                     filter_method=filter_method, train=train,
-                    triangulate_topk=tk)
+                    triangulate_topk=tk,
+                    # the rig-static windowed fast path only applies to
+                    # layer 1, whose sampling centers are the static grid
+                    window_plan=(window_plan if lid == 0 and not train
+                                 else None))
             if sel is None:
                 outputs.append({"hs": out, "refs": refs, "refs_2d": ref2d,
                                 "projs_2d": projs2d,

@@ -206,7 +206,8 @@ class MVGFormer(nn.Module):
     def __call__(self, batch: Batch,
                  query_mask: Optional[jnp.ndarray] = None,
                  threshold: float = 0.5,
-                 train: bool = False):
+                 train: bool = False,
+                 window_plan=None):
         """Returns a list (per decoder layer) of output dicts:
             pred_logits:        (B, Q, 2) inverse-sigmoid of avg joint prob
             pred_poses:         (B, Q*J, 3) absolute mm
@@ -299,6 +300,10 @@ class MVGFormer(nn.Module):
         else:
             raise ValueError(f"unknown init_ref_method: {method}")
 
+        if window_plan is not None and method != "sample_space":
+            raise ValueError(
+                "windowed layer-1 sampling requires the rig-static "
+                "'sample_space' reference init (got %r)" % method)
         filter_method = (dec.query_filter_method if dec.filter_query
                          else "all")
         layer_outputs = self.decoder(
@@ -308,7 +313,8 @@ class MVGFormer(nn.Module):
             refs0, feats, spatial_shapes, batch.view_data,
             query_mask=query_mask, threshold=threshold,
             filter_method=filter_method, train=train,
-            topk_queries=dec.inference_topk_queries)
+            topk_queries=dec.inference_topk_queries,
+            window_plan=window_plan)
 
         cji = dec.convert_joint_format_indices
         outs = []
@@ -336,3 +342,48 @@ class MVGFormer(nn.Module):
 
 def build_model(cfg: Config) -> MVGFormer:
     return MVGFormer(cfg=cfg)
+
+
+def feature_spatial_shapes(cfg: Config):
+    """Static (h, w) of each selected backbone level, finest-first —
+    matches what MVGFormer.__call__ derives from the actual features
+    (backbone levels come out at strides 16, 8, 4 and are reversed)."""
+    W, H = cfg.NETWORK.IMAGE_SIZE
+    strides = [16, 8, 4]
+    sel = [strides[i] for i in cfg.DECODER.use_feat_level][::-1]
+    return tuple((H // s, W // s) for s in sel)
+
+
+def build_layer1_window_plan(cfg: Config, view_data, tile: int = 8,
+                             halo: Optional[int] = None):
+    """Host-side, once per rig: bucket the static layer-1 sampling
+    centers (projected sample_space grid) into feature-map tiles for the
+    windowed fast path (ops/window_sampling.py).
+
+    view_data: a ViewData whose cameras/affines define the rig; only the
+    first batch item is used (a rig is batch-constant by definition).
+    halo defaults to dec_n_points + 2, which makes the windowed op exact
+    at offset init (radial bias <= n_points px, projattn.py:96-107).
+    """
+    import numpy as np
+
+    from mvgformer_tpu.models.decoder import project_reference_points
+    from mvgformer_tpu.ops.window_sampling import build_window_plan
+
+    dec = cfg.DECODER
+    shapes = feature_spatial_shapes(cfg)
+    refs = sample_space_reference_points(
+        dec.num_instance, load_tpose(dec.t_pose_dir),
+        cfg.MULTI_PERSON.SPACE_SIZE, cfg.MULTI_PERSON.SPACE_CENTER)
+    vd0 = jax.tree_util.tree_map(lambda a: a[:1], view_data)
+    _, lvl, _ = project_reference_points(
+        jnp.asarray(refs)[None], vd0, shapes, cfg.NETWORK.IMAGE_SIZE,
+        detach=True)
+    lvl = np.asarray(lvl[0])  # (V, Nq, L, 2) normalized per-level
+    centers_px = np.empty_like(lvl)
+    for li, (h, w) in enumerate(shapes):
+        centers_px[:, :, li, 0] = lvl[:, :, li, 0] * w - 0.5
+        centers_px[:, :, li, 1] = lvl[:, :, li, 1] * h - 0.5
+    if halo is None:
+        halo = dec.dec_n_points + 2
+    return build_window_plan(centers_px, shapes, tile=tile, halo=halo)

@@ -64,7 +64,8 @@ class ProjAttn(nn.Module):
                  reference_points: jnp.ndarray,
                  src_views: Sequence[jnp.ndarray],
                  spatial_shapes: Sequence[Tuple[int, int]],
-                 camera_ray_embeds: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 camera_ray_embeds: Optional[jnp.ndarray] = None,
+                 window_plan=None) -> jnp.ndarray:
         """
         Args:
             query:            (N, Lq, C) per-view query features (already
@@ -154,11 +155,23 @@ class ProjAttn(nn.Module):
         locations = (reference_points[:, :, None, :, None, :]
                      + offsets / normalizer[None, None, None, :, None, :])
 
-        sampler = (deform_sample_corner if self.sampling_impl == "corner"
-                   else deform_sample)
-        out = sampler(value, spatial_shapes,
-                      locations.astype(jnp.float32),
-                      weights.astype(value.dtype))
+        if window_plan is not None:
+            # rig-static windowed fast path (layer 1 only; see
+            # ops/window_sampling.py for semantics + escape telemetry)
+            from mvgformer_tpu.ops.window_sampling import window_sample
+
+            out, esc = window_sample(value, spatial_shapes,
+                                     locations.astype(jnp.float32),
+                                     weights.astype(jnp.float32),
+                                     window_plan)
+            self.sow("intermediates", "escaped_mass", esc)
+        else:
+            sampler = (deform_sample_corner
+                       if self.sampling_impl == "corner"
+                       else deform_sample)
+            out = sampler(value, spatial_shapes,
+                          locations.astype(jnp.float32),
+                          weights.astype(value.dtype))
         out = nn.Dense(self.d_model, kernel_init=xavier, name="output_proj",
                        dtype=self.dtype)(out)
         return out

@@ -91,7 +91,21 @@ def main():
         else:
             from mvgformer_tpu.data.prefetch import Prefetcher
 
-            eval_step = make_eval_step(cfg, model, threshold=thr)
+            window_plan = None
+            if cfg.DECODER.layer1_windowed_sampling:
+                # rig-static fast path: bucket the layer-1 sampling
+                # centers once per run from the first batch's cameras
+                from mvgformer_tpu.models.mvgformer import \
+                    build_layer1_window_plan
+
+                first = next(iter(test_ds.batches(batch_size,
+                                                  shuffle=False)))[1]
+                window_plan = build_layer1_window_plan(
+                    cfg, first.view_data,
+                    tile=cfg.DECODER.layer1_window_tile,
+                    halo=cfg.DECODER.layer1_window_halo)
+            eval_step = make_eval_step(cfg, model, threshold=thr,
+                                       window_plan=window_plan)
             preds = [None] * len(test_ds)
             for idx, batch in Prefetcher(
                     test_ds.batches(batch_size, shuffle=False,
