@@ -35,12 +35,13 @@ def main():
     cfg.DECODER.num_instance = 1024
     cfg.DATASET.CAMERA_NUM = 5
     cfg.NETWORK.IMAGE_SIZE = [960, 512]
-    # inference fast path: layers 2-4 run on the top-256 person queries by
-    # layer-1 score (vs max ~10 people in Panoptic scenes); kept queries
-    # are bit-identical to the dense run (tests/test_model.py). 256 rather
-    # than 128: the K*J=1920 shape trips a Mosaic/XLA compiler fault on the
-    # current toolchain.
-    cfg.DECODER.inference_topk_queries = 256
+    # inference fast path: layers 2-4 run on the top-128 person queries by
+    # layer-1 score (vs max ~10 people in Panoptic scenes, a 12x margin);
+    # kept queries are bit-identical to the dense run
+    # (tests/test_model.py). The K*J=1920-shape compiler fault that forced
+    # K=256 in round 1 is gone on the current toolchain (K=128: 8.04 fps
+    # vs K=256: 6.68, 2026-08-17).
+    cfg.DECODER.inference_topk_queries = 128
     # scalarized fixed-sweep Jacobi null-vector solver: ~1.5 ms vs 23 ms
     # (SVD) / 17 ms (XLA eigh) per layer at these shapes; agrees with the
     # SVD solution to ~1e-4 on the unit null vector (PERF.md)

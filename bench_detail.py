@@ -115,8 +115,7 @@ def run_train_config(name, batch_size=1, solver="linalg", iters=5):
 
 
 def main():
-    run_config("topk256_jacobi_windowed_b1", topk=256, solver="jacobi",
-               windowed=True)
+    run_config("topk128_jacobi_b1", topk=128, solver="jacobi")
     run_config("topk256_jacobi_b1", topk=256, solver="jacobi")
     run_config("topk256_svd_b1", topk=256, solver="linalg")
     run_config("dense_jacobi_windowed_b1", topk=None, solver="jacobi",

@@ -177,12 +177,22 @@ def _tile_windows(v_map: jnp.ndarray, plan: LevelPlan) -> jnp.ndarray:
     return cols.reshape(nty * ntx, K * K, H, D)
 
 
+def _inside_mass(rx, ry, K):
+    """Closed-form in-window bilinear mass per sample (the integer
+    triangle kernel is a partition of unity, so the mass inside
+    [0, K-1] is the product of the two edge-clipped axis masses)."""
+    mx = jnp.clip(rx + 1.0, 0.0, 1.0) * jnp.clip(K - rx, 0.0, 1.0)
+    my = jnp.clip(ry + 1.0, 0.0, 1.0) * jnp.clip(K - ry, 0.0, 1.0)
+    return mx * my
+
+
 def window_sample(value: jnp.ndarray,
                   spatial_shapes: Sequence[Tuple[int, int]],
                   sampling_locations: jnp.ndarray,
                   attention_weights: jnp.ndarray,
                   plan: WindowPlan,
-                  row_dtype: jnp.dtype = jnp.bfloat16):
+                  row_dtype: jnp.dtype = jnp.bfloat16,
+                  impl: str = "xla"):
     """Windowed deformable sampling; same contract as deform_sample plus a
     telemetry scalar.
 
@@ -235,6 +245,37 @@ def window_sample(value: jnp.ndarray,
 
         def take_rows(a, idx):  # a: (Lq, ...) idx: (nrows,)
             return jnp.take(a, idx, axis=0)
+
+        if impl == "pallas":
+            from mvgformer_tpu.ops.window_pallas import \
+                window_block_matmul
+
+            def pack_view(px_v, py_v, aw_v, rq_v, rvalid_v, rorig_v):
+                rx = (take_rows(px_v, rq_v)
+                      - rorig_v[:, None, None, 0].astype(jnp.float32))
+                ry = (take_rows(py_v, rq_v)
+                      - rorig_v[:, None, None, 1].astype(jnp.float32))
+                ra = take_rows(aw_v, rq_v) * rvalid_v[:, None, None]
+                esc = jnp.sum(ra * jnp.maximum(
+                    0.0, 1.0 - _inside_mass(rx, ry, K)))
+                rel = jnp.concatenate([ry, rx, ra], axis=-1)
+                return rel.reshape(nrows, -1), esc
+
+            rel, esc = jax.vmap(pack_view)(px, py, aw, rq, rvalid, rorig)
+            n_tiles = tiles.shape[1]
+            tiles_flat = tiles.reshape(V * n_tiles, K * K, H * D)
+            bt_flat = (btile
+                       + jnp.arange(V, dtype=btile.dtype)[:, None]
+                       * n_tiles).reshape(-1)
+            rows_out = window_block_matmul(
+                tiles_flat, rel.reshape(V * nrows, -1), bt_flat,
+                K=K, H=H, P=P, D=D, block_rows=lp.block_rows)
+            rows_out = rows_out.reshape(V, nrows, H * D)
+            lvl_out = jax.vmap(
+                lambda r, ip: jnp.take(r, ip, axis=0))(rows_out, iperm)
+            out = out + lvl_out.reshape(V, Lq, H, D).astype(jnp.float32)
+            escaped = escaped + jnp.sum(esc)
+            continue
 
         def per_view(px_v, py_v, aw_v, tiles_v, rq_v, rvalid_v, rorig_v,
                      btile_v, iperm_v):
