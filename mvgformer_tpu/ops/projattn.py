@@ -155,6 +155,12 @@ class ProjAttn(nn.Module):
         locations = (reference_points[:, :, None, :, None, :]
                      + offsets / normalizer[None, None, None, :, None, :])
 
+        # debug taps for attention-point overlays (visualize_proj_attention,
+        # lib/utils/vis.py:82-202); materialized only when the caller asks
+        # for mutable=['intermediates'], free otherwise
+        self.sow("intermediates", "sampling_locations", locations)
+        self.sow("intermediates", "sampling_weights", weights)
+
         if window_plan is not None:
             # rig-static windowed fast path (layer 1 only; see
             # ops/window_sampling.py for semantics + escape telemetry)

@@ -127,8 +127,52 @@ def save_view_grid(path: str, views, poses_2d_per_view=None):
     plt.close(fig)
 
 
+def save_attention_points(path: str, image, locations, weights,
+                          ref_points_2d=None, level: int = 0,
+                          max_queries: int = 64):
+    """Deformable-attention sampling points over one view, colored by
+    attention weight (visualize_proj_attention, vis.py:82-202).
+
+    image:     (H, W, 3) normalized net image.
+    locations: (Lq, H, L, P, 2) normalized [0, 1] sampling locations for
+               this view (ProjAttn sows these as 'sampling_locations';
+               index the (V*B) fold first).
+    weights:   (Lq, H, L, P) softmaxed attention weights.
+    ref_points_2d: optional (Lq, 2) projected reference points (px).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = denormalize_image(image)
+    h, w = img.shape[:2]
+    fig, ax = plt.subplots(figsize=(10, 6))
+    ax.imshow(img)
+    loc = np.asarray(locations)[:, :, level]      # (Lq, H, P, 2)
+    wgt = np.asarray(weights)[:, :, level]        # (Lq, H, P)
+    # cap the query count like the reference (it draws active queries
+    # only; dense callers pass the top-scoring slice)
+    loc, wgt = loc[:max_queries], wgt[:max_queries]
+    xy = loc.reshape(-1, 2) * np.array([w, h])
+    cv = wgt.reshape(-1)
+    inb = ((xy[:, 0] >= 0) & (xy[:, 0] < w)
+           & (xy[:, 1] >= 0) & (xy[:, 1] < h))
+    sc = ax.scatter(xy[inb, 0], xy[inb, 1], c=cv[inb], cmap="plasma",
+                    s=6, alpha=0.8)
+    fig.colorbar(sc, ax=ax, fraction=0.03, label="attention weight")
+    if ref_points_2d is not None:
+        rp = np.asarray(ref_points_2d)[:max_queries]
+        ax.scatter(rp[:, 0], rp[:, 1], s=22, c="cyan", marker="+")
+    ax.set_axis_off()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+
+
 def visualize_frame(out_dir: str, frame_id: int, batch, pred,
-                    layer_outputs=None, batch_index: int = 0):
+                    layer_outputs=None, batch_index: int = 0,
+                    intermediates=None):
     """One-call debug dump for a frame: 3D pred-vs-gt + per-view overlays
     (the model-forward hook pattern, dq_transformer.py:613-651)."""
     b = batch_index
@@ -155,3 +199,23 @@ def visualize_frame(out_dir: str, frame_id: int, batch, pred,
             save_view_grid(
                 os.path.join(out_dir, f"{frame_id}_layer{lid}_views.png"),
                 views, per_view)
+    if intermediates is not None:
+        # flax sow tree: decoder/layer_{l}/proj_attn/sampling_locations
+        # holding ((V*B, Lq, H, L, P, 2),); view-major fold (v*B + b)
+        dec = intermediates.get("decoder", {})
+        V = views.shape[0]
+        B_total = None
+        for lid, (lname, sub) in enumerate(sorted(dec.items())):
+            pa = sub.get("proj_attn", {})
+            if "sampling_locations" not in pa:
+                continue
+            loc = np.asarray(pa["sampling_locations"][0])
+            wgt = np.asarray(pa["sampling_weights"][0])
+            B_total = loc.shape[0] // V
+            for v in range(V):
+                n = v * B_total + b
+                save_attention_points(
+                    os.path.join(
+                        out_dir,
+                        f"{frame_id}_{lname}_view{v}_attn.png"),
+                    views[v], loc[n], wgt[n])

@@ -106,6 +106,25 @@ def main():
                     halo=cfg.DECODER.layer1_window_halo)
             eval_step = make_eval_step(cfg, model, threshold=thr,
                                        window_plan=window_plan)
+
+            # debug dumps every JUMP_NUM-th frame: 3D pred-vs-gt, per-layer
+            # 2D overlays, and ProjAttn attention-point overlays (the
+            # reference's in-forward hooks, dq_transformer.py:613-651)
+            jump = cfg.DEBUG.VISUALIZATION_JUMP_NUM
+            debug_step = None
+            if jump >= 0:
+                from mvgformer_tpu.utils.visualization import \
+                    visualize_frame
+
+                vis_dir = os.path.join(out_dir, "vis")
+
+                @jax.jit
+                def debug_step(params, batch_stats, b):
+                    outs, st = model.apply(
+                        {"params": params, "batch_stats": batch_stats},
+                        b, threshold=thr, mutable=["intermediates"])
+                    return outs, st["intermediates"]
+
             preds = [None] * len(test_ds)
             for idx, batch in Prefetcher(
                     test_ds.batches(batch_size, shuffle=False,
@@ -116,6 +135,16 @@ def main():
                                             batch))
                 for b, frame_idx in enumerate(idx):
                     preds[frame_idx] = pred[b]
+                    if (debug_step is not None
+                            and frame_idx % max(jump, 1) == 0):
+                        outs, inter = debug_step(variables["params"],
+                                                 variables["batch_stats"],
+                                                 batch)
+                        visualize_frame(
+                            vis_dir, frame_idx, jax.device_get(batch),
+                            pred[b], layer_outputs=jax.device_get(outs),
+                            intermediates=jax.device_get(inter),
+                            batch_index=b)
             preds = [p for p in preds if p is not None]
             np.save(pred_path, np.stack(preds))
             logger.info("saved preds to %s", pred_path)

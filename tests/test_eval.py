@@ -229,6 +229,36 @@ def test_visualization_savers(tmp_path):
         assert (tmp_path / f).exists(), f
 
 
+def test_attention_point_overlays(tmp_path):
+    """ProjAttn sows sampling locations/weights; visualize_frame draws
+    the per-layer attention-point overlays from them
+    (visualize_proj_attention, lib/utils/vis.py:82-202)."""
+    import jax
+
+    from mvgformer_tpu.data.synthetic import make_batch
+    from mvgformer_tpu.models.mvgformer import MVGFormer
+    from mvgformer_tpu.utils.visualization import visualize_frame
+    from test_model import small_cfg
+
+    cfg = small_cfg()
+    model = MVGFormer(cfg=cfg)
+    batch = make_batch(cfg, batch_size=1, seed=0, num_people=2,
+                       render=True)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    outs, state = model.apply(variables, batch, threshold=0.0,
+                              mutable=["intermediates"])
+    inter = state["intermediates"]
+    loc = inter["decoder"]["layer_0"]["proj_attn"][
+        "sampling_locations"][0]
+    V = batch.views.shape[1]
+    L = len(cfg.DECODER.use_feat_level)
+    assert loc.shape[0] == V and loc.shape[-1] == 2 and loc.shape[3] == L
+    pred = np.zeros((2, 15, 5), np.float32)
+    visualize_frame(str(tmp_path), 7, batch, pred, intermediates=inter)
+    assert (tmp_path / "7_layer_0_view0_attn.png").exists(), \
+        list(tmp_path.iterdir())
+
+
 def test_observability_breakdown():
     from mvgformer_tpu.core.evaluate import evaluate_by_observability
 
