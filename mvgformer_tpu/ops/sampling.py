@@ -183,8 +183,12 @@ def deform_sample_corner(value: jnp.ndarray,
 
     # --- production path: per-(view, head) grouped-level tables.
     # Greedily group consecutive levels while the concatenated corner
-    # table stays under the ~8 MB operand sweet spot.
-    CAP_BYTES = 8 * 2 ** 20
+    # table stays under the ~8 MB operand sweet spot (the gather cost
+    # cliff sits at ~10 MB, PERF.md "round-2 gather findings"; the env
+    # knob exists for re-measuring on other chips/toolchains).
+    import os as _os
+
+    CAP_BYTES = int(_os.environ.get("MVG_GATHER_CAP_MB", "8")) * 2 ** 20
     itemsize = jnp.dtype(value.dtype).itemsize
     level_rows = [(h + 2) * (w + 2) for (h, w) in spatial_shapes]
     groups: List[List[int]] = []
