@@ -23,7 +23,7 @@ stay outside in XLA.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

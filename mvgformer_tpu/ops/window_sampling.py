@@ -32,7 +32,7 @@ gather formulation); enable with DECODER.layer1_windowed_sampling.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

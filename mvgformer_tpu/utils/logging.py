@@ -72,6 +72,27 @@ class MetricLogger:
                         if k in self.meters)
 
 
+def format_table(headers, rows) -> str:
+    """Aligned ASCII table (the reference's PrettyTable AP/NMS reports,
+    run/train_3d.py:326-364, run/validate_3d.py:182-268) without the
+    dependency. Values are rendered with 4 decimals when float."""
+
+    def cell(v):
+        return f"{v:.4f}" if isinstance(v, float) else str(v)
+
+    table = [[cell(v) for v in row] for row in rows]
+    widths = [max(len(h), *(len(r[i]) for r in table)) if table
+              else len(h) for i, h in enumerate(headers)]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [sep, "| " + " | ".join(
+        h.ljust(w) for h, w in zip(headers, widths)) + " |", sep]
+    for r in table:
+        out.append("| " + " | ".join(
+            c.rjust(w) for c, w in zip(r, widths)) + " |")
+    out.append(sep)
+    return "\n".join(out)
+
+
 class ExperimentTracker:
     """Lightweight experiment tracking: JSONL event stream + summary.
 

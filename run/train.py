@@ -140,6 +140,13 @@ def main():
 
         logger.info("epoch %d done in %.1fs | %s", epoch,
                     time.time() - t_epoch, meter.format())
+        # device-memory observability (the reference logs
+        # cuda.memory_allocated per print block, lib/core/function.py:191)
+        mem = jax.local_devices()[0].memory_stats() or {}
+        if "bytes_in_use" in mem:
+            logger.info("device memory: %.2f / %.2f GiB in use",
+                        mem["bytes_in_use"] / 2 ** 30,
+                        mem.get("bytes_limit", 0) / 2 ** 30)
 
         # ---- per-epoch eval (run/train_3d.py:309-399)
         preds = []

@@ -80,6 +80,7 @@ def main():
             logger.info("restored %s (epoch %d)", args.model_path,
                         restored[1])
 
+    summary_rows = []
     for thr in cfg.DECODER.inference_conf_thr:
         # --- prediction cache: reload per-threshold .npy when present
         # (validate_3d.py:192-202); fresh runs always save alongside
@@ -156,6 +157,10 @@ def main():
         if isinstance(metrics, dict):
             logger.info("thr=%s  %s", thr,
                         {k: round(v, 4) for k, v in metrics.items()})
+            summary_rows.append(
+                [thr] + [float(metrics.get(k, 0.0))
+                         for k in ("ap@25", "ap@50", "ap@100", "ap@150",
+                                   "recall@25", "mpjpe", "recall@500")])
 
             # --- NMS operating-point grid search
             # (validate_3d.py:218-241; full grid under NMS_DETAIL_ALL)
@@ -205,6 +210,19 @@ def main():
                         thr, np.round(actor_pcp, 4), avg_pcp, recall)
             for k, v in bone_pcp.items():
                 logger.info("  %s: %s", k, np.round(v, 4))
+            summary_rows.append([thr, float(avg_pcp), float(recall)])
+
+    # cross-threshold summary table (the reference's PrettyTable report,
+    # run/validate_3d.py:182-268)
+    if summary_rows:
+        from mvgformer_tpu.utils.logging import format_table
+
+        if len(summary_rows[0]) == 8:
+            headers = ["thr", "ap@25", "ap@50", "ap@100", "ap@150",
+                       "recall@25", "mpjpe", "recall@500"]
+        else:
+            headers = ["thr", "pcp_avg", "recall@500"]
+        logger.info("summary:\n%s", format_table(headers, summary_rows))
 
 
 if __name__ == "__main__":

@@ -38,3 +38,22 @@ def test_validate_cli_smoke(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     combined = res.stderr + res.stdout
     assert "mpjpe" in combined
+
+
+def test_generate_video_cli(tmp_path):
+    """run/generate_video.py stitches numbered frames into an mp4
+    (reference run/generate_video.py:29-67)."""
+    import cv2
+    import numpy as np
+
+    for i in range(4):
+        img = np.full((64, 96, 3), i * 40, np.uint8)
+        cv2.imwrite(str(tmp_path / f"{i}_joints3d.png"), img)
+    out = tmp_path / "vid.mp4"
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run", "generate_video.py"),
+         "--image_dir", str(tmp_path), "--out", str(out),
+         "--pattern", "*_joints3d.png"],
+        capture_output=True, text=True, cwd=REPO, timeout=120)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 0
