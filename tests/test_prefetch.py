@@ -80,3 +80,28 @@ class TestExperimentTracker:
         assert summary["best_x/ap@25"] == 0.5
         assert json.load(open(tmp_path / "run_config.json"))[
             "config"]["a"] == 1
+
+
+def test_format_table():
+    from mvgformer_tpu.utils.logging import format_table
+
+    t = format_table(["thr", "ap@25"], [[0.1, 0.5], [0.3, 0.25]])
+    lines = t.splitlines()
+    assert lines[1].startswith("| thr")
+    assert "0.5000" in t and "0.2500" in t
+    # all rows same width
+    assert len({len(l) for l in lines}) == 1
+
+
+def test_stage_timer():
+    import jax.numpy as jnp
+
+    from mvgformer_tpu.utils.profiling import StageTimer
+
+    st = StageTimer()
+    with st.stage("a"):
+        pass
+    out = st.time_fn("b", lambda x: x * 2, jnp.ones(4))
+    assert float(out[0]) == 2.0
+    assert st.counts["a"] == 1 and st.counts["b"] == 1
+    assert st.totals["b"] >= 0.0
