@@ -105,7 +105,7 @@ def run_train_config(name, batch_size=1, solver="linalg", iters=5):
     float(chained(state, batch, rng))
     start = time.perf_counter()
     float(chained(state, batch, rng))
-    sps = batch_size * iters / (time.perf_counter() - start)
+    sps = iters / (time.perf_counter() - start)
     print(json.dumps({"config": name,
                       "train_steps_per_sec_per_chip": round(sps, 4),
                       "frames_per_sec_per_chip": round(sps * batch_size,

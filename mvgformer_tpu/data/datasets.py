@@ -354,6 +354,17 @@ class PanopticDataset(MultiViewDataset):
             if isinstance(pred, np.ndarray):
                 last = pred
             frame["joints_3d_voxelpose_pred"] = last
+        # backfill frames before the first available prediction with it —
+        # a leading None would crash voxcel_pose_base init mid-epoch and
+        # flip the Batch pytree structure between batches (jit retraces)
+        first = next((f["joints_3d_voxelpose_pred"] for f in self.frames
+                      if f["joints_3d_voxelpose_pred"] is not None), None)
+        if first is not None:
+            for frame in self.frames:
+                if frame["joints_3d_voxelpose_pred"] is None:
+                    frame["joints_3d_voxelpose_pred"] = first
+                else:
+                    break
 
     def _load_cameras(self, seq: str) -> List[Dict[str, np.ndarray]]:
         cam_file = osp.join(self.dataset_root, seq,

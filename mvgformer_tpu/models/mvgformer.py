@@ -350,7 +350,10 @@ def feature_spatial_shapes(cfg: Config):
     (backbone levels come out at strides 16, 8, 4 and are reversed)."""
     W, H = cfg.NETWORK.IMAGE_SIZE
     strides = [16, 8, 4]
-    sel = [strides[i] for i in cfg.DECODER.use_feat_level][::-1]
+    # the backbone filters by MEMBERSHIP in deconv order (pose_resnet.py
+    # `if i in use_feat_level`), so config order never matters
+    sel = [s for i, s in enumerate(strides)
+           if i in tuple(cfg.DECODER.use_feat_level)][::-1]
     return tuple((H // s, W // s) for s in sel)
 
 

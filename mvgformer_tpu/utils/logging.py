@@ -105,8 +105,8 @@ class ExperimentTracker:
     summary.json as training progresses.
     """
 
-    MAXIMIZE = ("ap", "recall", "precision")
-    MINIMIZE = ("mpjpe", "loss")
+    MAXIMIZE = ("ap", "recall", "precision", "pcp")
+    MINIMIZE = ("mpjpe", "loss", "total", "error", "wait")
 
     def __init__(self, out_dir: str, run_name: str = "",
                  config: Dict = None):
@@ -144,6 +144,9 @@ class ExperimentTracker:
             except (TypeError, ValueError):
                 continue
             rec[key] = v
+            kl = k.lower()
+            if not any(s in kl for s in self.MAXIMIZE + self.MINIMIZE):
+                continue  # no best_ direction known; don't freeze one
             best_key = f"best_{key}"
             if best_key not in self.summary or self._is_better(
                     key, v, self.summary[best_key]):

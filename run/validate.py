@@ -80,6 +80,19 @@ def main():
             logger.info("restored %s (epoch %d)", args.model_path,
                         restored[1])
 
+    window_plan = None
+    if cfg.DECODER.layer1_windowed_sampling:
+        # rig-static fast path: bucket the layer-1 sampling centers once
+        # per run (threshold-independent) from the first frame's cameras
+        # — no image IO needed for the plan
+        from mvgformer_tpu.models.mvgformer import build_layer1_window_plan
+
+        first = test_ds.load_batch([0], load_images=False)
+        window_plan = build_layer1_window_plan(
+            cfg, first.view_data,
+            tile=cfg.DECODER.layer1_window_tile,
+            halo=cfg.DECODER.layer1_window_halo)
+
     summary_rows = []
     for thr in cfg.DECODER.inference_conf_thr:
         # --- prediction cache: reload per-threshold .npy when present
@@ -92,19 +105,6 @@ def main():
         else:
             from mvgformer_tpu.data.prefetch import Prefetcher
 
-            window_plan = None
-            if cfg.DECODER.layer1_windowed_sampling:
-                # rig-static fast path: bucket the layer-1 sampling
-                # centers once per run from the first batch's cameras
-                from mvgformer_tpu.models.mvgformer import \
-                    build_layer1_window_plan
-
-                first = next(iter(test_ds.batches(batch_size,
-                                                  shuffle=False)))[1]
-                window_plan = build_layer1_window_plan(
-                    cfg, first.view_data,
-                    tile=cfg.DECODER.layer1_window_tile,
-                    halo=cfg.DECODER.layer1_window_halo)
             eval_step = make_eval_step(cfg, model, threshold=thr,
                                        window_plan=window_plan)
 
@@ -134,18 +134,21 @@ def main():
                 pred = np.asarray(eval_step(variables["params"],
                                             variables["batch_stats"],
                                             batch))
+                dbg = None  # the debug forward runs at most once per batch
                 for b, frame_idx in enumerate(idx):
                     preds[frame_idx] = pred[b]
                     if (debug_step is not None
                             and frame_idx % max(jump, 1) == 0):
-                        outs, inter = debug_step(variables["params"],
-                                                 variables["batch_stats"],
-                                                 batch)
+                        if dbg is None:
+                            outs, inter = debug_step(
+                                variables["params"],
+                                variables["batch_stats"], batch)
+                            dbg = (jax.device_get(outs),
+                                   jax.device_get(inter))
                         visualize_frame(
                             vis_dir, frame_idx, jax.device_get(batch),
-                            pred[b], layer_outputs=jax.device_get(outs),
-                            intermediates=jax.device_get(inter),
-                            batch_index=b)
+                            pred[b], layer_outputs=dbg[0],
+                            intermediates=dbg[1], batch_index=b)
             preds = [p for p in preds if p is not None]
             np.save(pred_path, np.stack(preds))
             logger.info("saved preds to %s", pred_path)

@@ -26,10 +26,14 @@ cd "$root"
 
 for seq in "${val_seqs[@]}"; do
   mkdir -p "$seq/hdVideos"
-  # 3D pose annotations
-  if [ ! -f "$seq/hdPose3d_stage1_coco19.tar" ]; then
-    wget -c "$endpoint/webdata/dataset/$seq/hdPose3d_stage1_coco19.tar" \
-        -O "$seq/hdPose3d_stage1_coco19.tar"
+  # 3D pose annotations: gate on the EXTRACTED dir, not the tar — a
+  # partial tar from an interrupted run must resume (wget -c), and
+  # extraction must rerun until it succeeds
+  if [ ! -d "$seq/hdPose3d_stage1_coco19" ]; then
+    # -P (not -O): wget -c only resumes reliably onto the server-named
+    # file
+    wget -c -P "$seq" \
+        "$endpoint/webdata/dataset/$seq/hdPose3d_stage1_coco19.tar"
     tar -xf "$seq/hdPose3d_stage1_coco19.tar" -C "$seq"
   fi
   # calibration
@@ -39,9 +43,8 @@ for seq in "${val_seqs[@]}"; do
   for v in "${hd_views[@]}"; do
     pad=$(printf "%02d" "$v")
     f="$seq/hdVideos/hd_00_${pad}.mp4"
-    [ -f "$f" ] || wget -c \
-        "$endpoint/webdata/dataset/$seq/videos/hd_shared_crf20/hd_00_${pad}.mp4" \
-        -O "$f"
+    [ -f "$f" ] || { wget -c -P "$seq/hdVideos" \
+        "$endpoint/webdata/dataset/$seq/videos/hd_shared_crf20/hd_00_${pad}.mp4"; }
   done
 done
 

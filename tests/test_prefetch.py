@@ -105,3 +105,34 @@ def test_stage_timer():
     assert float(out[0]) == 2.0
     assert st.counts["a"] == 1 and st.counts["b"] == 1
     assert st.totals["b"] >= 0.0
+
+
+def test_prefetcher_sentinel_survives_full_queue():
+    """Producer finishing while the queue is full must still deliver the
+    end-of-stream sentinel (a dropped sentinel deadlocks the consumer)."""
+    import time as _time
+
+    from mvgformer_tpu.data.prefetch import Prefetcher
+
+    items = [(i, i) for i in range(6)]
+    pf = Prefetcher(iter(items), place_fn=lambda b: b, depth=1)
+    _time.sleep(0.3)  # let the producer fill the queue and finish
+    got = [idx for idx, _ in pf]
+    assert got == [0, 1, 2, 3, 4, 5]
+
+
+def test_prefetcher_early_break_joins_producer():
+    """Breaking out of the consumer loop must unblock and join the
+    producer thread (no leaked thread pinning placed batches)."""
+    from mvgformer_tpu.data.prefetch import Prefetcher
+
+    def gen():
+        for i in range(100):
+            yield i, i
+
+    pf = Prefetcher(gen(), place_fn=lambda b: b, depth=2)
+    for idx, _ in pf:
+        if idx >= 1:
+            break
+    pf.close()
+    assert not pf._thread.is_alive()
