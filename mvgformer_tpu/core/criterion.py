@@ -98,9 +98,15 @@ def compute_layer_losses(cfg: Config,
     K = match.query_idx.shape[-1]
     V = vd.num_views
 
-    pair_valid = match.gt_valid[:, :, None]  # (B, M, 1) -> broadcast over K
+    # per-(gt, k) weights: KNN/hungarian fill every K slot of a valid gt;
+    # threshold matching fills a variable number and exports pair_valid
+    # so unfilled slots (garbage query indices) carry zero weight
+    if match.pair_valid is not None:
+        pair_valid = match.pair_valid  # (B, M, K)
+    else:
+        pair_valid = jnp.broadcast_to(match.gt_valid[:, :, None],
+                                      match.query_idx.shape)
     pair_w = pair_valid.astype(jnp.float32)
-    n_pairs = jnp.maximum(jnp.sum(pair_w) * K, 1.0)
 
     losses: Dict[str, jnp.ndarray] = {}
 
@@ -297,12 +303,15 @@ def compute_losses(cfg: Config,
             from mvgformer_tpu.models.matcher import (
                 hungarian_match_callback, pose_l1_cost)
 
-            J = dec.num_keypoints
             pred = out["pred_poses"].astype(jnp.float32).reshape(
                 out["pred_poses"].shape[0], -1,
                 batch.targets.joints_3d.shape[2], 3)
-            cost = pose_l1_cost(pred, batch.targets.joints_3d.astype(
-                jnp.float32))
+            # the assignment is a non-differentiable decision; without the
+            # stop_gradient, jax.grad hits pure_callback's missing JVP
+            # rule and the train step crashes (the reference's
+            # scipy-on-detached-cost does the same implicitly)
+            cost = jax.lax.stop_gradient(pose_l1_cost(
+                pred, batch.targets.joints_3d.astype(jnp.float32)))
             m_ce = hungarian_match_callback(cost, batch.targets.num_person)
             return compute_layer_losses(cfg, out, batch, m, num_samples,
                                         match_ce=m_ce)
@@ -323,11 +332,26 @@ def compute_losses(cfg: Config,
     # gt_match is off and loss_weight_init > 0
     if (dec.loss_weight_init > 0 and match is None
             and init_reference is not None):
+        # the reference converts the init poses to the gt joint order
+        # (construct_output_from_origin, dq_transformer.py:97-101) ...
+        init_pred = init_reference
+        if dec.convert_joint_format_indices is not None:
+            cji = jnp.asarray(dec.convert_joint_format_indices, jnp.int32)
+            B0 = init_pred.shape[0]
+            init_pred = init_pred.reshape(
+                B0, -1, dec.num_keypoints, 3)[:, :, cji].reshape(B0, -1, 3)
         init_out = {"pred_logits": layer_outputs[0]["pred_logits"],
-                    "pred_poses": init_reference}
+                    "pred_poses": init_pred}
         init_match = match_outputs(cfg, init_out, batch)
+        # ... and normalizes by the MATCHED-PAIR count, not the global
+        # num_samples (loss_poses with num_samples=None -> len(src_poses),
+        # multi_view_pose_transformer.py:684-685)
+        pv = (init_match.pair_valid if init_match.pair_valid is not None
+              else jnp.broadcast_to(init_match.gt_valid[:, :, None],
+                                    init_match.query_idx.shape))
+        n_pairs = jnp.maximum(jnp.sum(pv.astype(jnp.float32)), 1.0)
         init_losses = compute_layer_losses(cfg, init_out, batch, init_match,
-                                           num_samples)
+                                           n_pairs)
         summed["loss_init"] = init_losses["loss_pose_perjoint"]
     else:
         summed["loss_init"] = jnp.zeros(())

@@ -140,7 +140,8 @@ def evaluate_ap_mpjpe(preds, gt_joints, gt_vis=None,
 def evaluate_by_observability(preds, gt_joints, gt_vis2d_per_view,
                               num_views: int,
                               ob_percentiles=range(0, 100, 10),
-                              method: str = "score_sort"):
+                              method: str = "score_sort",
+                              gt_vis3d=None):
     """Per-camera-observability AP breakdown (panoptic.py:577-703).
 
     For each gt person, the observation count at percentile `th` is the
@@ -149,9 +150,13 @@ def evaluate_by_observability(preds, gt_joints, gt_vis2d_per_view,
     the full AP protocol per bucket.
 
     gt_vis2d_per_view: per frame (V, G, J) arrays of 2D visibility.
+    gt_vis3d: optional per-frame (G, J) 3D visibility — the reference's
+    breakdown reuses the main eval list built WITH joints_3d_vis
+    (panoptic.py:505-569), so per-pair MPJPE skips invisible joints.
     Returns {(percentile, n_cameras): metrics-dict}.
     """
-    eval_list, total_gt = build_eval_list(preds, gt_joints, method=method)
+    eval_list, total_gt = build_eval_list(preds, gt_joints,
+                                          gt_vis=gt_vis3d, method=method)
 
     # per global gt id: sorted per-joint view-visibility counts
     gt_obs_sorted: List[np.ndarray] = []

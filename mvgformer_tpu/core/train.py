@@ -80,16 +80,27 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
 
     def adam(lr_scale):
         return optax.chain(
-            optax.clip_by_global_norm(cfg.TRAIN.clip_max_norm),
             optax.scale_by_adam(),
             optax.scale_by_learning_rate(
                 lambda step: schedule(step) * lr_scale),
         )
 
-    return optax.multi_transform(
-        {"main": adam(1.0), "proj": adam(mult),
-         "frozen": optax.set_to_zero()},
-        _param_labels,
+    # clipping is ONE global norm over all trainable grads, applied before
+    # the per-group transforms — the reference clips
+    # clip_grad_norm_(model.parameters(), ...) once (function.py:171-176),
+    # not per param group; clip_max_norm <= 0 disables clipping there
+    # (and clip_by_global_norm(0.0) would zero every update). The frozen
+    # backbone's grads are exact zeros (stop_gradient), so including them
+    # in the norm is a no-op, matching the reference's trainable-only set.
+    clip = (optax.clip_by_global_norm(cfg.TRAIN.clip_max_norm)
+            if cfg.TRAIN.clip_max_norm > 0 else optax.identity())
+    return optax.chain(
+        clip,
+        optax.multi_transform(
+            {"main": adam(1.0), "proj": adam(mult),
+             "frozen": optax.set_to_zero()},
+            _param_labels,
+        ),
     )
 
 

@@ -173,17 +173,21 @@ class MultiViewDataset:
         return len(self.frames)
 
     def observability_arrays(self, n: int):
-        """(gt_joints, per-frame (V, G, J) 2D-visibility) for the first n
-        frames, or None when the dataset carries no per-view visibility —
-        feeds evaluate_by_observability (TEST.CAMERA_DETAIL,
-        reference lib/dataset/panoptic.py:577-703)."""
+        """(gt_joints, per-frame (G, J) 3D-vis or None, per-frame
+        (V, G, J) 2D-visibility) for the first n frames, or None when the
+        dataset carries no per-view visibility — feeds
+        evaluate_by_observability (TEST.CAMERA_DETAIL, reference
+        lib/dataset/panoptic.py:577-703)."""
         frames = self.frames[:n]
         if not frames or any(
                 fr.get("joints_2d_vis") is None for fr in frames):
             return None
         gts = [fr["joints_3d"] for fr in frames]
+        vis3d = [fr.get("joints_3d_vis") for fr in frames]
+        if any(v is None for v in vis3d):
+            vis3d = None
         vis = [np.asarray(fr["joints_2d_vis"]) for fr in frames]
-        return gts, vis
+        return gts, vis3d, vis
 
     def load_batch(self, indices: Sequence[int],
                    load_images: bool = True) -> Batch:
@@ -780,13 +784,14 @@ class SyntheticDataset(MultiViewDataset):
         return evaluate_ap_mpjpe(list(preds), gts, vis)
 
     def observability_arrays(self, n: int):
-        gts, vis = [], []
+        gts, vis3d, vis = [], [], []
         for i in range(n):
             b = self.load_batch([i], load_images=False)
             g = int(np.asarray(b.targets.num_person)[0])
             gts.append(np.asarray(b.targets.joints_3d)[0][:g])
+            vis3d.append(np.asarray(b.targets.joints_3d_vis)[0][:g])
             vis.append(np.asarray(b.view_data.joints_vis_2d)[0][:, :g])
-        return gts, vis
+        return gts, vis3d, vis
 
 
 DATASETS["synthetic"] = SyntheticDataset

@@ -203,6 +203,13 @@ def structural_triangulate(projections: jnp.ndarray,
     if confidences is None:
         confidences = jnp.full((B, V, Nj), 1.0 / V, dtype=jnp.float32)
     if bone_lengths is None:
+        if method.upper() == "ST":
+            # zero target lengths would drive every bone toward zero via
+            # the SCA step — a silent-garbage default; make callers pass
+            # real lengths (the adapter derives them from the T-pose)
+            raise ValueError(
+                "structural_triangulate(method='ST') requires "
+                "bone_lengths; pass target lengths or use method='LS'")
         bone_lengths = jnp.zeros((B, Nj - 1), dtype=jnp.float32)
 
     fn = lambda p2, cf, ln, pj: _st_one_person(

@@ -30,6 +30,12 @@ class MatchResult(NamedTuple):
     gt_valid: jnp.ndarray      # (B, M) bool
     # Per-query positive mask: query matched to >= 1 valid gt.
     query_mask: jnp.ndarray    # (B, Q) bool
+    # Per-(gt, k) pair validity. KNN fills all K slots per valid gt;
+    # threshold ('multiple') matching fills a VARIABLE number, and the
+    # losses must not weight the unfilled slots (their query_idx values
+    # are top_k tie-break garbage). None means "all K slots of a valid
+    # gt are real" (KNN / hungarian K=1).
+    pair_valid: jnp.ndarray = None  # (B, M, K) bool or None
 
 
 def pose_l1_cost(pred_abs: jnp.ndarray, gt_abs: jnp.ndarray,
@@ -77,6 +83,12 @@ def threshold_match(cost: jnp.ndarray, num_person: jnp.ndarray,
     within `thresh` matches that gt. Dense form: top-k_cap queries per gt
     filtered by the threshold (k_cap bounds the static shape)."""
     B, Q, M = cost.shape
+    gt_valid = jnp.arange(M)[None, :] < num_person[:, None]
+    # padded gt slots must not attract the argmin (the reference
+    # restricts the cost matrix to the first num_person columns,
+    # matcher.py:201-230); an all-zeros padding pose can otherwise be
+    # closer than any real gt
+    cost = jnp.where(gt_valid[:, None, :], cost, jnp.inf)
     best_gt = jnp.argmin(cost, axis=-1)  # (B, Q)
     best_cost = jnp.min(cost, axis=-1)
     is_match = best_cost < thresh  # (B, Q)
@@ -87,13 +99,13 @@ def threshold_match(cost: jnp.ndarray, num_person: jnp.ndarray,
                             jnp.swapaxes(cost, 1, 2), jnp.inf)  # (B, M, Q)
     vals, idx = jax.lax.top_k(-masked_cost, k_cap)
     pair_valid = jnp.isfinite(-vals)  # (B, M, K)
-    gt_valid = jnp.arange(M)[None, :] < num_person[:, None]
     onehot = jax.nn.one_hot(idx, Q, dtype=jnp.float32)
     onehot = onehot * (pair_valid & gt_valid[:, :, None])[..., None]
     query_mask = jnp.sum(onehot, axis=(1, 2)) > 0
     return MatchResult(query_idx=idx.astype(jnp.int32),
                        gt_valid=gt_valid & jnp.any(pair_valid, -1),
-                       query_mask=query_mask)
+                       query_mask=query_mask,
+                       pair_valid=pair_valid & gt_valid[:, :, None])
 
 
 def hungarian_match_host(cost: np.ndarray, num_person: np.ndarray):
@@ -117,6 +129,10 @@ def hungarian_match_callback(cost: jnp.ndarray,
     The scipy solve runs on the host per step — the same host round trip the
     reference takes (matcher.py:176-181 moves C to the CPU every call); use
     KNN for fully-on-device training. K=1 dense result."""
+    # the assignment is a non-differentiable decision and pure_callback
+    # has no JVP rule — without this, any differentiated loss using the
+    # hungarian assignment crashes under jax.grad
+    cost = jax.lax.stop_gradient(cost)
     B, Q, M = cost.shape
 
     def host_fn(cost_np, num_np):

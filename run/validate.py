@@ -196,9 +196,10 @@ def main():
                     from mvgformer_tpu.core.evaluate import \
                         evaluate_by_observability
 
-                    gts, vis = arrays
+                    gts, vis3d, vis = arrays
                     obs = evaluate_by_observability(
-                        nmsed, gts, vis, num_views=test_ds.num_views)
+                        nmsed, gts, vis, num_views=test_ds.num_views,
+                        gt_vis3d=vis3d)
                     for (pct, ncam), m in sorted(obs.items()):
                         logger.info(
                             "obs>=%d%% cams=%d  n_gt=%d ap25=%.4f "

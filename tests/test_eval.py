@@ -294,3 +294,63 @@ def test_use_ce_match():
     outs = model.apply(variables, batch, query_mask=match.query_mask)
     losses = compute_losses(cfg, outs, batch, match)
     assert np.isfinite(float(losses["total"]))
+
+
+def test_use_ce_match_differentiable():
+    """use_ce_match runs a Hungarian pure_callback inside the
+    differentiated loss; the assignment cost must be stop-gradiented or
+    jax.grad crashes with 'Pure callbacks do not support JVP'."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvgformer_tpu.core.criterion import compute_losses, match_queries
+    from mvgformer_tpu.data.synthetic import make_batch
+    from mvgformer_tpu.models.mvgformer import MVGFormer
+    from test_model import small_cfg
+
+    cfg = small_cfg(**{"DECODER.use_ce_match": True})
+    model = MVGFormer(cfg=cfg)
+    batch = make_batch(cfg, batch_size=1, seed=0, num_people=2)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    match = match_queries(cfg, model.initial_reference_points_static(1),
+                          batch)
+
+    def loss_fn(params):
+        outs = model.apply({"params": params,
+                            "batch_stats": variables["batch_stats"]},
+                           batch, query_mask=match.query_mask)
+        return compute_losses(cfg, outs, batch, match)["total"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads["decoder"])
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+
+
+def test_threshold_match_ignores_padding_and_weights_real_pairs():
+    """'multiple' matching: zero-padded gt slots must not win the argmin,
+    and unfilled top-k slots must carry zero pair weight."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mvgformer_tpu.models.matcher import threshold_match
+
+    B, Q, M = 1, 6, 3
+    cost = np.full((B, Q, M), 50.0, np.float32)
+    # queries 0,1 are close to gt 0; query 2 close to gt 1
+    cost[0, 0, 0] = 1.0
+    cost[0, 1, 0] = 2.0
+    cost[0, 2, 1] = 1.5
+    # padding slot (gt 2, beyond num_person) is artificially the best
+    # match for every query — it must be ignored
+    cost[0, :, 2] = 0.01
+    m = threshold_match(jnp.asarray(cost), jnp.asarray([2]), thresh=5.0,
+                        k_cap=4)
+    assert m.pair_valid is not None
+    pv = np.asarray(m.pair_valid)[0]  # (M, K)
+    assert pv[0].sum() == 2 and pv[1].sum() == 1  # real matches only
+    assert pv[2].sum() == 0                       # padding slot empty
+    qi = np.asarray(m.query_idx)[0]
+    assert set(qi[0][pv[0]]) == {0, 1}
+    assert set(qi[1][pv[1]]) == {2}
+    qm = np.asarray(m.query_mask)[0]
+    assert list(np.nonzero(qm)[0]) == [0, 1, 2]
