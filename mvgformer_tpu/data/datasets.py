@@ -310,9 +310,13 @@ class PanopticDataset(MultiViewDataset):
         self._interval = 3 if image_set == "train" else 12
         self.max_frames = max_frames or cfg.DATASET.MAX_DATA_NUM
 
+        # max_frames is part of the key: a truncated smoke-test db must
+        # never be silently reused by a full run (or vice versa)
+        cap = self.max_frames if self.max_frames else "all"
         cache = osp.join(
             self.dataset_root,
-            f"mvgtpu_{image_set}_{arrangement}_{self.num_views}.pkl")
+            f"mvgtpu_{image_set}_{arrangement}_{self.num_views}"
+            f"_{cap}.pkl")
         if osp.isfile(cache):
             with open(cache, "rb") as f:
                 self.frames = pickle.load(f)
@@ -343,6 +347,19 @@ class PanopticDataset(MultiViewDataset):
             ex_info = pickle.load(f)
         ex_entries = (ex_info.get("db", ex_info)
                       if isinstance(ex_info, dict) else ex_info)
+
+        def norm_key(key: str) -> str:
+            # reference db keys carry a per-view camera prefix
+            # ("{seq}_{panel:02d}_{node:02d}_{frame}", panoptic.py:443);
+            # this framework's frame keys don't ("{seq}__{frame}").
+            # Normalize both to (seq, frame-number) so reference-produced
+            # pred dbs match. Panoptic seq names are "<date>_<name>"
+            # (two '_'-separated parts).
+            parts = str(key).split("_")
+            if len(parts) >= 3:
+                return f"{parts[0]}_{parts[1]}_{parts[-1]}"
+            return key
+
         by_key = {}
         last = None
         for item in ex_entries:
@@ -351,10 +368,10 @@ class PanopticDataset(MultiViewDataset):
             if isinstance(pred, np.ndarray):
                 last = pred
             if isinstance(item, dict) and "key" in item:
-                by_key[item["key"]] = last
+                by_key[norm_key(item["key"])] = last
         last = None
         for frame in self.frames:
-            pred = by_key.get(frame["key"], None)
+            pred = by_key.get(norm_key(frame["key"]), None)
             if isinstance(pred, np.ndarray):
                 last = pred
             frame["joints_3d_voxelpose_pred"] = last

@@ -68,14 +68,18 @@ class Prefetcher:
         self._thread.start()
 
     def close(self):
-        """Stop the producer and drop queued batches (frees device refs)."""
+        """Stop the producer and drop queued batches (frees device refs).
+
+        Join BEFORE draining: a put() blocked in its retry window could
+        otherwise land one more placed batch after the drain and leave it
+        pinned in the dead queue."""
         self._stop.set()
+        self._thread.join(timeout=5.0)
         while True:
             try:
                 self._q.get_nowait()
             except queue.Empty:
                 break
-        self._thread.join(timeout=5.0)
 
     def __enter__(self):
         return self

@@ -152,13 +152,16 @@ class DQDecoderLayer(nn.Module):
             return norm1(tgt + drop1(jnp.mean(attn_mean, axis=1,
                                               keepdims=True)))
         if method.startswith("attention"):
-            # attention_tgt_embed_trans family (dq_decoder.py:794-830):
-            # q = k = attn (+pos), v = attn; residual onto tgt
+            # attention family (dq_decoder.py:778-830): q = k = attn
+            # (+pos for the 'embed' variants); the value is attn for the
+            # '_tgt'-fixed variants but TGT for the original 'attention'
+            # (its acknowledged bug, kept for checkpoint compatibility)
             q = k = (with_pos_embed(attn_mean, query_pos)
                      if "embed" in method else attn_mean)
+            value = tgt if method == "attention" else attn_mean
             attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.n_heads, dtype=self.dtype,
-                name="self_attn")(q, k, attn_mean)
+                name="self_attn")(q, k, value)
             if method.endswith("direct"):
                 return norm2(drop(attn))
             return norm2(tgt + drop(attn))

@@ -34,12 +34,8 @@ from flax import linen as nn
 
 from mvgformer_tpu.config import Config
 from mvgformer_tpu.data.meta import Batch, ViewData
-from mvgformer_tpu.geometry.transforms import norm2absolute
 from mvgformer_tpu.models.decoder import DQDecoder
 from mvgformer_tpu.models.pose_resnet import PoseResNet
-
-_ASSET_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "mvgformer_tpu", "assets")
 
 
 def load_tpose(path: Optional[str] = None) -> np.ndarray:
@@ -249,14 +245,16 @@ class MVGFormer(nn.Module):
         if method == "sample_space":
             refs0 = self.initial_reference_points(B)
         elif method == "gt_noise":
-            # debug init: gt poses + N(0, value) noise; padded query slots 0
+            # debug init: gt poses + N(0, value) noise; padded query slots 0.
+            # value >= 0 (INCLUDING 0) is the std, else 100
+            # (dq_transformer.py:274-283); no visibility masking there
             assert batch.targets is not None
-            std = float(dec.init_ref_method_value or 100.0)
+            v = dec.init_ref_method_value
+            std = float(v) if (v is not None and v >= 0) else 100.0
             gt = batch.targets.joints_3d.astype(jnp.float32)  # (B, M, J, 3)
             noise = std * jax.random.normal(
                 self.make_rng("init_ref"), gt.shape)
-            noisy = (gt + noise) * (
-                batch.targets.joints_3d_vis[..., None] > 0)
+            noisy = gt + noise
             Bq = self.num_instance
             M = gt.shape[1]
             pad = jnp.zeros((B, Bq - M, gt.shape[2], 3))
@@ -264,7 +262,12 @@ class MVGFormer(nn.Module):
         elif method in ("query_adapt", "query_adapt_center"):
             pooled = jnp.concatenate(
                 [jnp.mean(f, axis=(1, 2)) for f in feats], axis=-1)
-            pooled = pooled.reshape(B, -1).astype(jnp.float32)
+            # feats are the VIEW-MAJOR (V*B) fold: regroup per batch item
+            # before flattening (the reference's view(nview, batch, 3, c)
+            # .transpose(0, 1), dq_transformer.py:440-474) — a plain
+            # reshape(B, -1) would mix features across batch samples
+            pooled = pooled.reshape(V, B, -1).swapaxes(0, 1).reshape(
+                B, -1).astype(jnp.float32)
             ref_feats = self.reference_feats(pooled)[:, None]  # (B, 1, C)
             base = (tgt if query_pos is None else query_pos).astype(
                 jnp.float32)

@@ -148,8 +148,10 @@ class ExperimentTracker:
             if not any(s in kl for s in self.MAXIMIZE + self.MINIMIZE):
                 continue  # no best_ direction known; don't freeze one
             best_key = f"best_{key}"
+            # direction from the UNPREFIXED metric name: a prefix like
+            # 'loss/' must not flip a maximize metric into minimize
             if best_key not in self.summary or self._is_better(
-                    key, v, self.summary[best_key]):
+                    k, v, self.summary[best_key]):
                 self.summary[best_key] = v
         with open(self.path, "a") as f:
             f.write(self._json.dumps(rec) + "\n")

@@ -219,6 +219,22 @@ class TestInitRefMethods:
         outs = model.apply(variables, batch, threshold=0.0)
         assert np.all(np.isfinite(np.asarray(outs[-1]["pred_poses"])))
 
+    def test_query_adapt_batch_consistent(self):
+        """The adaptive init pools per-sample features from the
+        view-major (V*B) fold; item 0 of a 2-batch must see exactly the
+        same pooled features as a 1-batch of the same frame (a plain
+        reshape(B, -1) would scramble features across samples)."""
+        cfg = small_cfg(**{"DECODER.init_ref_method": "query_adapt"})
+        model = MVGFormer(cfg=cfg)
+        b2 = make_batch(cfg, batch_size=2, seed=0, num_people=2)
+        b1 = jax.tree_util.tree_map(lambda a: a[:1], b2)
+        variables = model.init(jax.random.PRNGKey(0), b2)
+        out2 = np.asarray(model.apply(variables, b2,
+                                      threshold=0.0)[-1]["pred_poses"])
+        out1 = np.asarray(model.apply(variables, b1,
+                                      threshold=0.0)[-1]["pred_poses"])
+        np.testing.assert_allclose(out2[0], out1[0], rtol=1e-3, atol=0.5)
+
     def test_voxcel_pose_base(self):
         """Reference points straight from attached voxelpose predictions
         (dq_transformer.py:260-263,325-327); num_instance must equal the
