@@ -218,18 +218,25 @@ class DQDecoderLayer(nn.Module):
         ref_norm, ref_lvl, bounds = self.project_ref_points(
             reference_points, view_data, spatial_shapes)
 
-        # (1b) optional pre-attention over queries (off in live config)
+        # (1b) optional pre-attention over queries (off in live config).
+        # NOTE: in the reference this block lives INSIDE generate_features
+        # (dq_decoder.py:532-539) and its result is local there — it only
+        # feeds the projective-attention queries; update_feature's
+        # residual base stays the ORIGINAL tgt (:882). The reference
+        # reuses its single self_attn + norm2 modules here (converter
+        # duplicates them into init_self_attn / norm_init).
+        tgt_for_attn = tgt
         if self.init_self_attention:
             q = k = with_pos_embed(tgt, query_pos)
             attn0 = nn.MultiHeadDotProductAttention(
                 num_heads=self.n_heads, dtype=self.dtype,
                 name="init_self_attn")(q, k, tgt)
-            tgt = nn.LayerNorm(dtype=self.dtype, name="norm_init")(
+            tgt_for_attn = nn.LayerNorm(dtype=self.dtype, name="norm_init")(
                 tgt + nn.Dropout(self.dropout, deterministic=not train,
                                  name="dropout_init")(attn0))
 
         # (2) projective attention, all views folded (view-major: v*B + b)
-        q_in = with_pos_embed(tgt, query_pos)
+        q_in = with_pos_embed(tgt_for_attn, query_pos)
         q_fold = jnp.broadcast_to(q_in[None], (V, B, Nq, C)).reshape(
             V * B, Nq, C)
         ref_fold = jnp.swapaxes(ref_lvl, 0, 1).reshape(

@@ -30,18 +30,30 @@ def _manager(ckpt_dir: str, max_to_keep: int = 3):
 
 def save_checkpoint(ckpt_dir: str, state, epoch: int,
                     precision: Optional[float] = None,
-                    is_best: bool = False) -> None:
+                    is_best: bool = False,
+                    next_epoch: Optional[int] = None) -> None:
     """Save {state, epoch, precision}; mirrors save_checkpoint
-    (lib/utils/utils.py:144-150) incl. best tracking."""
+    (lib/utils/utils.py:144-150) incl. best tracking.
+
+    meta['epoch'] stores the NEXT epoch to run on resume (the reference
+    saves 'epoch': epoch + 1): pass next_epoch=epoch+1 for end-of-epoch
+    saves, next_epoch=epoch for mid-epoch preemption saves (re-run the
+    interrupted epoch). Saving over an existing step (preemption + resume
+    re-running an epoch) replaces it instead of raising
+    StepAlreadyExistsError. precision should be the BEST metric so far,
+    like the reference ('precision': best_precision)."""
     import orbax.checkpoint as ocp
 
     mgr = _manager(ckpt_dir)
     payload = {
         "state": jax.tree_util.tree_map(np.asarray, state),
-        "meta": {"epoch": epoch,
+        "meta": {"epoch": int(next_epoch if next_epoch is not None
+                              else epoch),
                  "precision": float(precision or 0.0),
                  "is_best": bool(is_best)},
     }
+    if epoch in (mgr.all_steps() or []):
+        mgr.delete(epoch)
     mgr.save(epoch, args=ocp.args.StandardSave(payload))
     mgr.wait_until_finished()
     if is_best:
@@ -49,13 +61,15 @@ def save_checkpoint(ckpt_dir: str, state, epoch: int,
         best = ocp.CheckpointManager(
             best_dir, options=ocp.CheckpointManagerOptions(max_to_keep=1,
                                                            create=True))
+        if epoch in (best.all_steps() or []):
+            best.delete(epoch)
         best.save(epoch, args=ocp.args.StandardSave(payload))
         best.wait_until_finished()
 
 
 def load_checkpoint(ckpt_dir: str, state_like, step: Optional[int] = None):
-    """Restore (state, epoch, precision); resume path
-    (lib/utils/utils.py:105-122)."""
+    """Restore (state, next_epoch, best_precision); resume path
+    (lib/utils/utils.py:105-122). next_epoch is the epoch to START at."""
     import orbax.checkpoint as ocp
 
     mgr = _manager(ckpt_dir)
@@ -71,6 +85,32 @@ def load_checkpoint(ckpt_dir: str, state_like, step: Optional[int] = None):
 
     state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
     return state, payload["meta"]["epoch"], payload["meta"]["precision"]
+
+
+def load_params_checkpoint(ckpt_dir: str, step: Optional[int] = None):
+    """Restore only {params, batch_stats} from a TRAINING checkpoint
+    without needing a full TrainState template — the eval CLI's path
+    (the saved payload holds a TrainState; a bare variables-dict template
+    would fail orbax's structure check). Returns (variables, next_epoch)
+    or None."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(ckpt_dir)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        return None
+    payload = mgr.restore(step)  # template-free: nested containers
+    import jax.numpy as jnp
+
+    st = payload["state"]
+    get = (lambda obj, k: getattr(obj, k, None)
+           if not isinstance(obj, dict) else obj.get(k))
+    variables = {
+        "params": jax.tree_util.tree_map(jnp.asarray, get(st, "params")),
+        "batch_stats": jax.tree_util.tree_map(
+            jnp.asarray, get(st, "batch_stats") or {}),
+    }
+    return variables, payload["meta"]["epoch"]
 
 
 class PreemptionGuard:

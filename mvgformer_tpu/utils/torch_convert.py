@@ -108,10 +108,17 @@ def convert_mvgformer_state_dict(state_dict, cfg) -> Dict:
         if dec.bayesian_update and f"{src}.bayesian_conf.weight" in sd:
             _linear(params, sd, f"{src}.bayesian_conf",
                     dst + ("bayesian_conf",))
-        if (dec.init_self_attention
-                or dec.feature_update_method.startswith("attention")):
+        if dec.feature_update_method.startswith("attention"):
             _mha(params, sd, f"{src}.self_attn", dst + ("self_attn",),
                  dec.d_model, dec.nhead)
+        if dec.init_self_attention:
+            # the reference REUSES its single self_attn + norm2 for the
+            # pre-attention block (dq_decoder.py:532-539); this framework
+            # names that block init_self_attn/norm_init, so duplicate the
+            # weights there (norm2 stays mapped for update_feature)
+            _mha(params, sd, f"{src}.self_attn",
+                 dst + ("init_self_attn",), dec.d_model, dec.nhead)
+            _layernorm(params, sd, f"{src}.norm2", dst + ("norm_init",))
         if dec.share_layer_weights:
             break
 

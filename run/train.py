@@ -104,8 +104,20 @@ def main():
             logger.info("resumed from epoch %d", begin_epoch)
 
     train_step = make_train_step(cfg, model, tx, num_replicas=n_dev)
+    # eval uses its own batch size (reference's separate test loader) and
+    # the same windowed-sampling plan the validate CLI would use
+    eval_batch = max(cfg.TEST.BATCH_SIZE // n_dev, 1) * n_dev
+    window_plan = None
+    if cfg.DECODER.layer1_windowed_sampling:
+        from mvgformer_tpu.models.mvgformer import build_layer1_window_plan
+
+        window_plan = build_layer1_window_plan(
+            cfg, test_ds.load_batch([0], load_images=False).view_data,
+            tile=cfg.DECODER.layer1_window_tile,
+            halo=cfg.DECODER.layer1_window_halo)
     eval_step = make_eval_step(cfg, model,
-                               threshold=cfg.DECODER.inference_conf_thr[0])
+                               threshold=cfg.DECODER.inference_conf_thr[0],
+                               window_plan=window_plan)
 
     guard = PreemptionGuard()
     total_steps = 0
@@ -135,7 +147,9 @@ def main():
             if guard.should_stop:
                 logger.info("preemption requested; checkpointing epoch %d",
                             epoch)
-                save_checkpoint(ckpt_dir, state, epoch, best_precision)
+                # mid-epoch save: resume re-runs this epoch
+                save_checkpoint(ckpt_dir, state, epoch, best_precision,
+                                next_epoch=epoch)
                 return
 
         logger.info("epoch %d done in %.1fs | %s", epoch,
@@ -148,10 +162,18 @@ def main():
                         mem["bytes_in_use"] / 2 ** 30,
                         mem.get("bytes_limit", 0) / 2 ** 30)
 
+        # a preemption during eval would lose the whole trained epoch:
+        # checkpoint the finished epoch first if we're asked to stop
+        if guard.should_stop:
+            logger.info("preemption requested post-epoch; checkpointing")
+            save_checkpoint(ckpt_dir, state, epoch, best_precision,
+                            next_epoch=epoch + 1)
+            return
+
         # ---- per-epoch eval (run/train_3d.py:309-399)
         preds = []
         for idx, batch in Prefetcher(
-                test_ds.batches(global_batch, shuffle=False,
+                test_ds.batches(eval_batch, shuffle=False,
                                 drop_last=False),
                 place_fn=lambda b: shard_batch(b, mesh)):
             pred = np.asarray(eval_step(state.params, state.batch_stats,
@@ -179,7 +201,11 @@ def main():
             tracker.log({"pcp_avg": precision}, epoch=epoch, prefix="eval/")
         is_best = precision > best_precision
         best_precision = max(best_precision, precision)
-        save_checkpoint(ckpt_dir, state, epoch, precision, is_best)
+        # store the BEST precision (the reference's 'precision':
+        # best_precision) so a resumed run can't overwrite a better best/
+        # checkpoint, and epoch+1 as the resume point
+        save_checkpoint(ckpt_dir, state, epoch, best_precision, is_best,
+                        next_epoch=epoch + 1)
         if args.max_steps and total_steps >= args.max_steps:
             break
 

@@ -71,13 +71,17 @@ def main():
             variables = load_torch_checkpoint(args.model_path, cfg)
             logger.info("converted torch checkpoint %s", args.model_path)
         else:
-            from mvgformer_tpu.utils.checkpoint import load_checkpoint
+            # training checkpoints hold a full TrainState; restore
+            # template-free and keep only params/batch_stats (a bare
+            # variables template would fail orbax's structure check)
+            from mvgformer_tpu.utils.checkpoint import \
+                load_params_checkpoint
 
-            restored = load_checkpoint(args.model_path, variables)
+            restored = load_params_checkpoint(args.model_path)
             if restored is None:
                 raise FileNotFoundError(args.model_path)
             variables = restored[0]
-            logger.info("restored %s (epoch %d)", args.model_path,
+            logger.info("restored %s (next epoch %d)", args.model_path,
                         restored[1])
 
     window_plan = None

@@ -75,9 +75,12 @@ def _small_cfgs(query_filter_method="all", num_instance=16):
     return cfg, rc
 
 
-def _run_pair(query_filter_method, threshold, batch_size, seed=0):
+def _run_pair(query_filter_method, threshold, batch_size, seed=0,
+              init_self_attention=False):
     import torch
     cfg, rc = _small_cfgs(query_filter_method)
+    cfg.DECODER.init_self_attention = init_self_attention
+    rc.DECODER.init_self_attention = init_self_attention
     torch.manual_seed(0)
     ref = ref_dq_transformer(rc).eval()
     # perturb BN stats so backbone parity is non-trivial
@@ -115,6 +118,22 @@ class TestFullModelParity:
                                    ref_poses, rtol=1e-3, atol=2.0)
         np.testing.assert_allclose(np.asarray(last["pred_poses_2d"]),
                                    ref_2d, rtol=1e-3, atol=0.5)
+
+    @needs_ref
+    def test_forward_parity_init_self_attention(self):
+        """init_self_attention=True: the reference reuses its single
+        self_attn + norm2 for the pre-attention block; the converter must
+        duplicate those weights into init_self_attn/norm_init."""
+        out_ref, outs, cfg = _run_pair("all", threshold=0.0, batch_size=1,
+                                       init_self_attention=True)
+        last = outs[-1]
+        np.testing.assert_allclose(
+            np.asarray(last["pred_logits"]),
+            out_ref["pred_logits"].numpy(), rtol=1e-3, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(last["pred_poses"]),
+            out_ref["pred_poses"]["outputs_coord"].numpy(),
+            rtol=1e-3, atol=2.0)
 
     @needs_ref
     def test_forward_parity_threshold_filtering(self):
