@@ -157,7 +157,10 @@ def main():
             np.save(pred_path, np.stack(preds))
             logger.info("saved preds to %s", pred_path)
         if args.save_preds:
-            np.save(args.save_preds, np.stack(preds))
+            # one file per threshold — a fixed name would leave only the
+            # last threshold's predictions
+            root, ext = os.path.splitext(args.save_preds)
+            np.save(f"{root}-{thr}{ext or '.npy'}", np.stack(preds))
 
         nmsed = [apply_pose_nms(p) for p in preds]
         metrics = test_ds.evaluate(nmsed)
