@@ -126,13 +126,22 @@ def make_train_step(cfg: Config, model: MVGFormer,
     (SURVEY.md §7 design delta 6).
     """
 
-    gt_match = cfg.DECODER.gt_match
+    # the MvP baseline (TRANSFORMER: multi_view_pose_transformer,
+    # run/train_3d.py:245-250) has no initial query grid: it always matches
+    # per layer on its own outputs (SetCriterion without origin)
+    is_dq = hasattr(model, "initial_reference_points_static")
+    gt_match = cfg.DECODER.gt_match and is_dq
 
     def loss_fn(params, batch_stats, batch, match, init_refs, rng):
-        outs = model.apply(
-            {"params": params, "batch_stats": batch_stats}, batch,
-            query_mask=match.query_mask if gt_match else None,
-            train=True, rngs={"dropout": rng})
+        if is_dq:
+            outs = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch,
+                query_mask=match.query_mask if gt_match else None,
+                train=True, rngs={"dropout": rng})
+        else:
+            outs = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch,
+                train=True, rngs={"dropout": rng})
         losses = compute_losses(cfg, outs, batch,
                                 match if gt_match else None,
                                 init_reference=init_refs,
@@ -140,12 +149,16 @@ def make_train_step(cfg: Config, model: MVGFormer,
         return losses["total"], losses
 
     def train_step(state: TrainState, batch: Batch, rng):
-        init_refs = model.initial_reference_points_static(
-            batch.views.shape[0])
-        # gt-match on the initial query grid (dq_transformer.py:496-524);
-        # with gt_match off the criterion re-matches per layer instead and
-        # this result is unused (it is cheap and keeps one code path)
-        match = match_queries(cfg, init_refs, batch)
+        if not is_dq:
+            init_refs = match = None
+        else:
+            init_refs = model.initial_reference_points_static(
+                batch.views.shape[0])
+            # gt-match on the initial query grid
+            # (dq_transformer.py:496-524); with gt_match off the criterion
+            # re-matches per layer instead and this result is unused (it is
+            # cheap and keeps one code path)
+            match = match_queries(cfg, init_refs, batch)
         (_, losses), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
                                    batch, match, init_refs, rng)
@@ -163,16 +176,31 @@ def make_train_step(cfg: Config, model: MVGFormer,
 
 
 def make_eval_step(cfg: Config, model: MVGFormer, threshold: float,
-                   window_plan=None):
+                   window_plan=None, with_escape_telemetry: bool = False):
     """Jitted inference step returning the reference's pred array
     (lib/core/function.py:386-394): (B, Q, J, 5) = xyz | (score>thr)-1 |
     score. window_plan: optional rig-static layer-1 sampling plan
-    (build_layer1_window_plan); a compile-time constant."""
+    (build_layer1_window_plan); a compile-time constant.
 
-    def eval_step(params, batch_stats, batch: Batch):
-        outs = model.apply({"params": params, "batch_stats": batch_stats},
-                           batch, threshold=threshold,
-                           window_plan=window_plan)
+    with_escape_telemetry: also return the summed windowed-sampling
+    escaped-weight mass (sown by ProjAttn when layer1_windowed_sampling is
+    on) so the validate CLI can surface the safety instrument."""
+
+    is_dq = hasattr(model, "initial_reference_points_static")
+
+    def forward(params, batch_stats, batch, **apply_kwargs):
+        if is_dq:
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch, threshold=threshold, window_plan=window_plan,
+                **apply_kwargs)
+        # MvP baseline: no query filtering, the threshold only shapes
+        # the returned flag channel below
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch,
+            **apply_kwargs)
+
+    def to_pred(outs):
         out = outs[-1]
         B, Q = out["pred_logits"].shape[:2]
         poses = out["pred_poses"].reshape(B, Q, -1, 3)
@@ -182,4 +210,45 @@ def make_eval_step(cfg: Config, model: MVGFormer, threshold: float,
         flag = (score > threshold).astype(poses.dtype) - 1.0
         return jnp.concatenate([poses, flag, score], axis=-1)
 
+    if with_escape_telemetry:
+        def eval_step(params, batch_stats, batch: Batch):
+            outs, st = forward(params, batch_stats, batch,
+                               mutable=["intermediates"])
+            esc = jnp.zeros((), jnp.float32)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                    st["intermediates"])[0]:
+                if any(getattr(p, "key", "") == "escaped_mass"
+                       for p in path):
+                    esc = esc + jnp.sum(leaf)
+            return to_pred(outs), esc
+    else:
+        def eval_step(params, batch_stats, batch: Batch):
+            return to_pred(forward(params, batch_stats, batch))
+
     return jax.jit(eval_step)
+
+
+def make_eval_loss_step(cfg: Config, model: MVGFormer, threshold: float,
+                        window_plan=None):
+    """Loss dict on eval batches (DEBUG.LOG_VAL_LOSS: the reference's
+    validate_3d loss mirror, lib/core/function.py:413-576).
+
+    Inference-mode forward (threshold query filtering, no gt-match) with
+    the criterion matching each layer's own outputs — the reference's eval
+    forward has no GT indices either (gt_match_test defaults False)."""
+
+    is_dq = hasattr(model, "initial_reference_points_static")
+
+    def loss_step(params, batch_stats, batch: Batch):
+        if is_dq:
+            outs = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch, threshold=threshold, window_plan=window_plan)
+        else:
+            outs = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch)
+        losses = compute_losses(cfg, outs, batch, None)
+        return {k: v for k, v in losses.items()
+                if not isinstance(v, (list, dict))}
+
+    return jax.jit(loss_step)

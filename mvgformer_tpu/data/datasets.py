@@ -45,6 +45,46 @@ PANOPTIC_VAL_SEQS = [
     "160906_pizza1", "160422_haggling1", "160906_ian5", "160906_band4",
 ]
 
+# DATASET.SUBSET_SELECTION ablation lists (panoptic.py:54-172): each key
+# names a sequence subset; train and val pick from their own table.
+_SEQ2_PROGRESSION = [
+    "160906_pizza1", "160906_ian2", "160226_haggling1", "161202_haggling1",
+    "160422_ultimatum1", "160906_ian1", "160906_ian2", "160906_ian3",
+]
+PANOPTIC_TRAIN_LISTS = {
+    "all": PANOPTIC_TRAIN_SEQS,
+    "seq1": ["160906_pizza1"],
+    "seq2": ["160906_pizza1"],
+    "dbg": ["160906_pizza1"],
+    # seq2-N: first N entries of the progression (skipping the held-out
+    # haggling seq exactly as the reference's hand-written lists do)
+    "seq2-2": _SEQ2_PROGRESSION[:2],
+    "seq2-3": ["160906_pizza1", "160906_ian2", "160226_haggling1"],
+    "seq2-4": _SEQ2_PROGRESSION[:4],
+    "seq2-5": _SEQ2_PROGRESSION[:5],
+    "seq2-6": _SEQ2_PROGRESSION[:6],
+    "seq2-7": _SEQ2_PROGRESSION[:7],
+    "seq2-8": _SEQ2_PROGRESSION[:8],
+    "ian-1": ["160906_ian1"],
+    "ian-2": ["160906_ian1", "160906_ian2"],
+    "ian-3": ["160906_ian1", "160906_ian2", "160906_ian3"],
+    "dbg-val": PANOPTIC_VAL_SEQS,
+}
+PANOPTIC_VAL_LISTS = {
+    "all": PANOPTIC_VAL_SEQS,
+    "seq1": ["160422_haggling1"],
+    "seq2": ["160906_ian5"],
+    "dbg": ["160906_pizza1"],
+    **{f"seq2-{n}": ["160906_ian5"] for n in range(2, 9)},
+    "ian-1": ["160906_ian5"],
+    "ian-2": ["160906_ian5"],
+    "ian-3": ["160906_ian5"],
+    "hag": ["160422_haggling1"],
+    "band": ["160906_band4"],
+    "all-val": PANOPTIC_TRAIN_SEQS,
+    "dbg-val": PANOPTIC_VAL_SEQS,
+}
+
 CAM_LIST = {
     "CMU0_ori": [(0, 12), (0, 6), (0, 23), (0, 13), (0, 3)],
     "CMU0": [(0, 3), (0, 6), (0, 12), (0, 13), (0, 23)],
@@ -305,18 +345,32 @@ class PanopticDataset(MultiViewDataset):
         self.cam_list = CAM_LIST[arrangement][:self.num_views]
         self.num_views = len(self.cam_list)
         self.dataset_root = osp.join(cfg.DATA_DIR, cfg.DATASET.ROOT)
-        self.sequences = (PANOPTIC_TRAIN_SEQS if image_set == "train"
-                          else PANOPTIC_VAL_SEQS)
+        # sequence-subset ablations (panoptic.py:231-234): SUBSET_SELECTION
+        # picks from the TRAIN_LISTS/VAL_LISTS tables; None/'all' = default
+        subset = cfg.DATASET.SUBSET_SELECTION or "all"
+        lists = (PANOPTIC_TRAIN_LISTS if image_set == "train"
+                 else PANOPTIC_VAL_LISTS)
+        if subset not in lists:
+            raise KeyError(
+                f"SUBSET_SELECTION {subset!r} unknown for {image_set}; "
+                f"options: {sorted(lists)}")
+        self.sequences = lists[subset]
+        # observed-by->=3-views db filter (panoptic.py:422-443)
+        self.filter_valid_observations = \
+            cfg.DATASET.FILTER_VALID_OBSERVATIONS
         self._interval = 3 if image_set == "train" else 12
         self.max_frames = max_frames or cfg.DATASET.MAX_DATA_NUM
 
-        # max_frames is part of the key: a truncated smoke-test db must
-        # never be silently reused by a full run (or vice versa)
+        # max_frames / subset / observation-filter are part of the key: a
+        # truncated or filtered db must never be silently reused by a full
+        # run (or vice versa)
         cap = self.max_frames if self.max_frames else "all"
+        sub = "" if subset == "all" else f"_{subset}"
+        filt = "_obsfilt" if self.filter_valid_observations else ""
         cache = osp.join(
             self.dataset_root,
             f"mvgtpu_{image_set}_{arrangement}_{self.num_views}"
-            f"_{cap}.pkl")
+            f"_{cap}{sub}{filt}.pkl")
         if osp.isfile(cache):
             with open(cache, "rb") as f:
                 self.frames = pickle.load(f)
@@ -441,6 +495,14 @@ class PanopticDataset(MultiViewDataset):
                 inb = ((pix[..., 0] >= 0) & (pix[..., 0] <= W - 1)
                        & (pix[..., 1] >= 0) & (pix[..., 1] <= H - 1))
                 vis2d = (inb & (vis3d[None] > 0)).astype(np.float32)
+
+                # FILTER_VALID_OBSERVATIONS (panoptic.py:422-443): keep a
+                # frame only if every joint of every person is observable
+                # by at least 3 cameras
+                if self.filter_valid_observations:
+                    obs_per_joint = vis2d.sum(axis=0)  # (G, J)
+                    if not np.all(obs_per_joint > 2):
+                        continue
 
                 postfix = osp.basename(file).replace("body3DScene", "")
                 images = []

@@ -260,12 +260,16 @@ class MvPTransformer(nn.Module):
         tgt = jnp.broadcast_to(
             query_embeds[None, :, c:], (B, query_embeds.shape[0], c))
 
-        # query adaptation (multi_view_pose_transformer.py:404-417)
+        # query adaptation (multi_view_pose_transformer.py:404-417). The
+        # reference's .view(1, -1) assumes batch 1/GPU; here the pooled
+        # (V*B, 3C) features regroup per batch item before flattening
+        # (view-major fold), identical for B=1 and correct for B>1.
         if dec.query_adaptation:
-            pooled = [jnp.mean(f, axis=(1, 2)) for f in feats]
-            pooled = jnp.concatenate(pooled, axis=-1).reshape(1, -1)
-            ref_feats = self.reference_feats(
-                pooled.astype(jnp.float32))[None]
+            pooled = jnp.concatenate(
+                [jnp.mean(f, axis=(1, 2)) for f in feats], axis=-1)
+            pooled = pooled.reshape(V, B, -1).swapaxes(0, 1).reshape(
+                B, -1).astype(jnp.float32)
+            ref_feats = self.reference_feats(pooled)[:, None]  # (B, 1, C)
             refs = jax.nn.sigmoid(self.reference_points_head(
                 query_pos.astype(jnp.float32) + ref_feats))
         else:

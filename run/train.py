@@ -47,7 +47,7 @@ def main():
                                           make_eval_step, make_train_step)
     from mvgformer_tpu.data.datasets import get_dataset
     from mvgformer_tpu.data.prefetch import Prefetcher
-    from mvgformer_tpu.models.mvgformer import MVGFormer
+    from mvgformer_tpu.models import build_model
     from mvgformer_tpu.parallel import make_mesh, shard_batch
     from mvgformer_tpu.utils.checkpoint import (PreemptionGuard,
                                                 load_backbone_pretrained,
@@ -72,11 +72,15 @@ def main():
     logger.info("train frames: %d, test frames: %d",
                 len(train_ds), len(test_ds))
 
-    n_dev = jax.device_count()
+    # PARALLEL.DATA caps the data-parallel axis (-1 = all devices)
+    n_dev = (jax.device_count() if cfg.PARALLEL.DATA <= 0
+             else min(cfg.PARALLEL.DATA, jax.device_count()))
     global_batch = cfg.TRAIN.BATCH_SIZE * n_dev
     steps_per_epoch = max(len(train_ds) // global_batch, 1)
 
-    model = MVGFormer(cfg=cfg)
+    # TRANSFORMER dispatch: dq_transformer (MVGFormer) or the MvP baseline
+    # (reference run/train_3d.py:245-250)
+    model = build_model(cfg)
     mesh = make_mesh(n_dev)
     rng = jax.random.PRNGKey(cfg.TRAIN.SEED)
 
@@ -93,6 +97,26 @@ def main():
                               batch_stats=variables["batch_stats"])
         logger.info("loaded pretrained backbone %s",
                     cfg.NETWORK.PRETRAINED_BACKBONE)
+
+    if cfg.TRAIN.FINETUNE_MODEL:
+        # weights-only init for finetuning (run/train_3d.py:268-271, e.g.
+        # the shelf/campus finetune recipes); epoch/optimizer start fresh
+        if cfg.TRAIN.FINETUNE_MODEL.endswith((".pth", ".tar")):
+            from mvgformer_tpu.utils.torch_convert import \
+                load_torch_checkpoint
+
+            ft = load_torch_checkpoint(cfg.TRAIN.FINETUNE_MODEL, cfg)
+        else:
+            from mvgformer_tpu.utils.checkpoint import \
+                load_params_checkpoint
+
+            restored = load_params_checkpoint(cfg.TRAIN.FINETUNE_MODEL)
+            if restored is None:
+                raise FileNotFoundError(cfg.TRAIN.FINETUNE_MODEL)
+            ft = restored[0]
+        state = state.replace(params=ft["params"],
+                              batch_stats=ft["batch_stats"])
+        logger.info("finetuning from %s", cfg.TRAIN.FINETUNE_MODEL)
 
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     begin_epoch = cfg.TRAIN.BEGIN_EPOCH
@@ -115,9 +139,19 @@ def main():
             cfg, test_ds.load_batch([0], load_images=False).view_data,
             tile=cfg.DECODER.layer1_window_tile,
             halo=cfg.DECODER.layer1_window_halo)
-    eval_step = make_eval_step(cfg, model,
-                               threshold=cfg.DECODER.inference_conf_thr[0],
-                               window_plan=window_plan)
+    # one eval step per configured confidence threshold (the reference
+    # validates per threshold each epoch, run/train_3d.py:310-314); jit is
+    # lazy, so unused thresholds never compile
+    eval_steps = {thr: make_eval_step(cfg, model, threshold=thr,
+                                      window_plan=window_plan)
+                  for thr in cfg.DECODER.inference_conf_thr}
+    eval_loss_step = None
+    if cfg.DEBUG.LOG_VAL_LOSS:
+        from mvgformer_tpu.core.train import make_eval_loss_step
+
+        eval_loss_step = make_eval_loss_step(
+            cfg, model, threshold=cfg.DECODER.inference_conf_thr[0],
+            window_plan=window_plan)
 
     guard = PreemptionGuard()
     total_steps = 0
@@ -170,35 +204,53 @@ def main():
                             next_epoch=epoch + 1)
             return
 
-        # ---- per-epoch eval (run/train_3d.py:309-399)
-        preds = []
-        for idx, batch in Prefetcher(
-                test_ds.batches(eval_batch, shuffle=False,
-                                drop_last=False),
-                place_fn=lambda b: shard_batch(b, mesh)):
-            pred = np.asarray(eval_step(state.params, state.batch_stats,
-                                        batch))
-            for b, frame_idx in enumerate(idx):
-                if len(preds) <= frame_idx:
-                    preds.extend([None] * (frame_idx + 1 - len(preds)))
-                preds[frame_idx] = pred[b]
-        preds = [p for p in preds if p is not None]
-        nmsed = [apply_pose_nms(p) for p in preds]
-        metrics = test_ds.evaluate(nmsed)
-        if isinstance(metrics, dict):
-            logger.info("eval epoch %d: %s", epoch, {
-                k: round(v, 4) for k, v in metrics.items()})
-            precision = metrics.get("ap@25", 0.0)
-        else:  # PCP datasets
-            actor_pcp, avg_pcp, _, recall = metrics
-            logger.info("eval epoch %d: PCP %s avg %.4f recall %.4f",
-                        epoch, actor_pcp, avg_pcp, recall)
-            precision = avg_pcp
+        # ---- per-epoch eval, one pass per confidence threshold
+        # (run/train_3d.py:309-399; best precision is cumulative across
+        # thresholds like the reference's in-loop checkpoint updates)
+        precision = 0.0
+        val_loss_meter = MetricLogger() if eval_loss_step else None
+        for thr, eval_step in eval_steps.items():
+            preds = []
+            for idx, batch in Prefetcher(
+                    test_ds.batches(eval_batch, shuffle=False,
+                                    drop_last=False),
+                    place_fn=lambda b: shard_batch(b, mesh)):
+                pred = np.asarray(eval_step(state.params, state.batch_stats,
+                                            batch))
+                if val_loss_meter is not None and thr == next(
+                        iter(eval_steps)):
+                    # DEBUG.LOG_VAL_LOSS (lib/core/function.py:413-576):
+                    # criterion on eval batches, logged once per epoch
+                    vl = eval_loss_step(state.params, state.batch_stats,
+                                        batch)
+                    val_loss_meter.update(
+                        {k: float(v) for k, v in vl.items()})
+                for b, frame_idx in enumerate(idx):
+                    if len(preds) <= frame_idx:
+                        preds.extend([None] * (frame_idx + 1 - len(preds)))
+                    preds[frame_idx] = pred[b]
+            preds = [p for p in preds if p is not None]
+            nmsed = [apply_pose_nms(p) for p in preds]
+            metrics = test_ds.evaluate(nmsed)
+            if isinstance(metrics, dict):
+                logger.info("eval epoch %d thr %s: %s", epoch, thr, {
+                    k: round(v, 4) for k, v in metrics.items()})
+                precision = max(precision, metrics.get("ap@25", 0.0))
+                tracker.log(metrics, epoch=epoch, prefix="eval/")
+            else:  # PCP datasets
+                actor_pcp, avg_pcp, _, recall = metrics
+                logger.info(
+                    "eval epoch %d thr %s: PCP %s avg %.4f recall %.4f",
+                    epoch, thr, actor_pcp, avg_pcp, recall)
+                precision = max(precision, avg_pcp)
+                tracker.log({"pcp_avg": avg_pcp}, epoch=epoch,
+                            prefix="eval/")
+        if val_loss_meter is not None and val_loss_meter.meters:
+            logger.info("val loss epoch %d | %s", epoch,
+                        val_loss_meter.format())
+            tracker.log({k: m.avg for k, m in val_loss_meter.meters.items()},
+                        epoch=epoch, prefix="val_loss/")
 
-        if isinstance(metrics, dict):
-            tracker.log(metrics, epoch=epoch, prefix="eval/")
-        else:
-            tracker.log({"pcp_avg": precision}, epoch=epoch, prefix="eval/")
         is_best = precision > best_precision
         best_precision = max(best_precision, precision)
         # store the BEST precision (the reference's 'precision':

@@ -44,7 +44,7 @@ def main():
     from mvgformer_tpu.core.nms import apply_pose_nms
     from mvgformer_tpu.core.train import make_eval_step
     from mvgformer_tpu.data.datasets import get_dataset
-    from mvgformer_tpu.models.mvgformer import MVGFormer
+    from mvgformer_tpu.models import build_model
     from mvgformer_tpu.parallel import make_mesh, shard_batch
     from mvgformer_tpu.utils.logging import create_logger
 
@@ -55,8 +55,19 @@ def main():
     test_ds = get_dataset(cfg, cfg.DATASET.TEST_SUBSET, is_train=False)
     logger.info("eval frames: %d", len(test_ds))
 
-    model = MVGFormer(cfg=cfg)
-    n_dev = jax.device_count()
+    # TRANSFORMER dispatch (the reference's validate_3d hard-codes
+    # dq_transformer, run/validate_3d.py:150; the rebuild honors the knob
+    # for both stacks)
+    model = build_model(cfg)
+    if not args.model_path and cfg.TEST.MODEL_FILE:
+        # config-specified checkpoint (the reference resolves
+        # TEST.MODEL_FILE when no --model_path is given,
+        # run/validate_3d.py:159-166)
+        args.model_path = cfg.TEST.MODEL_FILE
+        logger.info("using TEST.MODEL_FILE %s", args.model_path)
+    # PARALLEL.DATA caps the data-parallel axis (-1 = all devices)
+    n_dev = (jax.device_count() if cfg.PARALLEL.DATA <= 0
+             else min(cfg.PARALLEL.DATA, jax.device_count()))
     mesh = make_mesh(n_dev)
     batch_size = max(cfg.TEST.BATCH_SIZE // max(n_dev, 1), 1) * n_dev
 
@@ -109,15 +120,31 @@ def main():
         else:
             from mvgformer_tpu.data.prefetch import Prefetcher
 
+            # surface the windowed path's escaped-weight-mass telemetry
+            # (the one safety instrument for layer1_windowed_sampling;
+            # sown at ops/projattn.py)
+            telemetry = cfg.DECODER.layer1_windowed_sampling
             eval_step = make_eval_step(cfg, model, threshold=thr,
-                                       window_plan=window_plan)
+                                       window_plan=window_plan,
+                                       with_escape_telemetry=telemetry)
+            eval_loss_step = None
+            if cfg.DEBUG.LOG_VAL_LOSS:
+                from mvgformer_tpu.core.train import make_eval_loss_step
+
+                eval_loss_step = make_eval_loss_step(
+                    cfg, model, threshold=thr, window_plan=window_plan)
+                val_losses = {}
+                val_loss_batches = 0
+            escaped_total = 0.0
 
             # debug dumps every JUMP_NUM-th frame: 3D pred-vs-gt, per-layer
             # 2D overlays, and ProjAttn attention-point overlays (the
             # reference's in-forward hooks, dq_transformer.py:613-651)
             jump = cfg.DEBUG.VISUALIZATION_JUMP_NUM
             debug_step = None
-            if jump >= 0:
+            # the debug overlays read MVGFormer's sown intermediates; the
+            # MvP baseline sows none
+            if jump >= 0 and cfg.TRANSFORMER == "dq_transformer":
                 from mvgformer_tpu.utils.visualization import \
                     visualize_frame
 
@@ -135,9 +162,21 @@ def main():
                     test_ds.batches(batch_size, shuffle=False,
                                     drop_last=False),
                     place_fn=lambda b: shard_batch(b, mesh)):
-                pred = np.asarray(eval_step(variables["params"],
-                                            variables["batch_stats"],
-                                            batch))
+                if telemetry:
+                    pred, esc = eval_step(variables["params"],
+                                          variables["batch_stats"], batch)
+                    pred = np.asarray(pred)
+                    escaped_total += float(esc)
+                else:
+                    pred = np.asarray(eval_step(variables["params"],
+                                                variables["batch_stats"],
+                                                batch))
+                if eval_loss_step is not None:
+                    vl = eval_loss_step(variables["params"],
+                                        variables["batch_stats"], batch)
+                    for k, v in vl.items():
+                        val_losses[k] = val_losses.get(k, 0.0) + float(v)
+                    val_loss_batches += 1
                 dbg = None  # the debug forward runs at most once per batch
                 for b, frame_idx in enumerate(idx):
                     preds[frame_idx] = pred[b]
@@ -156,6 +195,16 @@ def main():
             preds = [p for p in preds if p is not None]
             np.save(pred_path, np.stack(preds))
             logger.info("saved preds to %s", pred_path)
+            if telemetry:
+                logger.info(
+                    "windowed-sampling escaped weight mass: %.6g over %d "
+                    "frames (%.3g/frame; >0 means learned offsets left "
+                    "their halo and sampled zeros)", escaped_total,
+                    len(preds), escaped_total / max(len(preds), 1))
+            if eval_loss_step is not None and val_loss_batches:
+                logger.info("val loss thr=%s  %s", thr, {
+                    k: round(v / val_loss_batches, 5)
+                    for k, v in sorted(val_losses.items())})
         if args.save_preds:
             # one file per threshold — a fixed name would leave only the
             # last threshold's predictions

@@ -57,3 +57,27 @@ def test_generate_video_cli(tmp_path):
         capture_output=True, text=True, cwd=REPO, timeout=120)
     assert res.returncode == 0, res.stderr[-2000:]
     assert out.exists() and out.stat().st_size > 0
+
+
+@pytest.mark.slow
+def test_train_cli_mvp_baseline(tmp_path):
+    """TRANSFORMER=multi_view_pose_transformer trains + evals end-to-end
+    (reference dispatch run/train_3d.py:245-250)."""
+    res = _run("train.py", "--max_steps", "1",
+               f"OUTPUT_DIR={tmp_path}",
+               "TRANSFORMER=multi_view_pose_transformer")
+    assert res.returncode == 0, res.stderr[-2000:]
+    combined = res.stderr + res.stdout
+    assert "eval epoch 0" in combined
+
+
+@pytest.mark.slow
+def test_validate_cli_log_val_loss(tmp_path):
+    """DEBUG.LOG_VAL_LOSS prints the criterion dict on eval batches
+    (reference lib/core/function.py:413-576)."""
+    res = _run("validate.py", f"OUTPUT_DIR={tmp_path}",
+               "DEBUG.LOG_VAL_LOSS=true")
+    assert res.returncode == 0, res.stderr[-2000:]
+    combined = res.stderr + res.stdout
+    assert "val loss" in combined
+    assert "loss_pose_perjoint" in combined

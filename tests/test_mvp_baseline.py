@@ -110,3 +110,78 @@ class TestRayconvParity:
                 None,
             ).numpy()
         np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+class TestMvPDispatch:
+    """TRANSFORMER dispatch (reference run/train_3d.py:245-250) plus the
+    MvP baseline running end-to-end through the shared train/eval steps."""
+
+    def test_build_model_dispatch(self):
+        from mvgformer_tpu.models import build_model
+        from mvgformer_tpu.models.mvgformer import MVGFormer
+
+        cfg = small_cfg()
+        assert isinstance(build_model(cfg), MVGFormer)
+        cfg.TRANSFORMER = "multi_view_pose_transformer"
+        assert isinstance(build_model(cfg), MvPTransformer)
+        cfg.TRANSFORMER = "bogus"
+        with pytest.raises(ValueError):
+            build_model(cfg)
+
+    def test_mvp_train_step_decreases_loss(self):
+        from mvgformer_tpu.core.train import (create_train_state,
+                                              make_train_step)
+
+        cfg = small_cfg(**{"DECODER.num_instance": 8,
+                           "DECODER.num_decoder_layers": 2})
+        cfg.TRANSFORMER = "multi_view_pose_transformer"
+        cfg.TRAIN.LR = 1e-3
+        model = MvPTransformer(cfg=cfg)
+        batch = make_batch(cfg, batch_size=1, seed=0, num_people=2,
+                           render=True)
+        state, tx = create_train_state(cfg, model, batch,
+                                       jax.random.PRNGKey(0))
+        step = make_train_step(cfg, model, tx, donate=False)
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(8):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch, sub)
+            losses.append(float(metrics["total"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+
+    def test_mvp_eval_step_pred_format(self):
+        from mvgformer_tpu.core.train import make_eval_step
+
+        cfg = small_cfg(**{"DECODER.num_instance": 8})
+        cfg.TRANSFORMER = "multi_view_pose_transformer"
+        model = MvPTransformer(cfg=cfg)
+        batch = make_batch(cfg, batch_size=1, seed=0, num_people=2)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        step = make_eval_step(cfg, model, threshold=0.1)
+        pred = np.asarray(step(variables["params"],
+                               variables.get("batch_stats", {}), batch))
+        Q, J = cfg.DECODER.num_instance, cfg.DECODER.num_keypoints
+        assert pred.shape == (1, Q, J, 5)
+        assert np.all(np.isfinite(pred[..., :3]))
+        assert set(np.unique(pred[..., 3])) <= {-1.0, 0.0}
+
+
+class TestEvalLossStep:
+    def test_eval_loss_dict(self):
+        """DEBUG.LOG_VAL_LOSS support: criterion on eval batches
+        (reference lib/core/function.py:413-576)."""
+        from mvgformer_tpu.core.train import make_eval_loss_step
+        from mvgformer_tpu.models.mvgformer import MVGFormer
+
+        cfg = small_cfg()
+        model = MVGFormer(cfg=cfg)
+        batch = make_batch(cfg, batch_size=1, seed=0, num_people=2)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        step = make_eval_loss_step(cfg, model, threshold=0.1)
+        losses = step(variables["params"],
+                      variables.get("batch_stats", {}), batch)
+        for key in ("total", "loss_ce", "loss_pose_perjoint"):
+            assert key in losses
+            assert np.isfinite(float(losses[key])), (key, losses[key])

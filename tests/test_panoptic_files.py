@@ -171,3 +171,90 @@ class TestPanopticFiles:
         # missing entries forward-fill (panoptic.py:284-301)
         np.testing.assert_array_equal(
             ds.frames[1]["joints_3d_voxelpose_pred"], vp)
+
+
+class TestSubsetSelection:
+    """DATASET.SUBSET_SELECTION picks sequence-subset ablation lists
+    (panoptic.py:231-234 with the TRAIN_LISTS/VAL_LISTS variants)."""
+
+    def test_subset_restricts_sequences(self, panoptic_root):
+        root, _ = panoptic_root
+        cfg = _cfg_for(root)
+        cfg.DATASET.SUBSET_SELECTION = "dbg"  # val 'dbg' -> pizza1 only
+        ds = PanopticDataset(cfg, "validation", is_train=False)
+        assert ds.sequences == [ANNO_SEQ]
+        assert len(ds.frames) == 2
+
+    def test_subset_without_annotations_is_empty(self, panoptic_root):
+        root, _ = panoptic_root
+        cfg = _cfg_for(root)
+        cfg.DATASET.SUBSET_SELECTION = "hag"  # haggling1: no annos here
+        ds = PanopticDataset(cfg, "validation", is_train=False)
+        assert ds.sequences == ["160422_haggling1"]
+        assert len(ds.frames) == 0
+
+    def test_unknown_subset_raises(self, panoptic_root):
+        root, _ = panoptic_root
+        cfg = _cfg_for(root)
+        cfg.DATASET.SUBSET_SELECTION = "nope"
+        with pytest.raises(KeyError):
+            PanopticDataset(cfg, "validation", is_train=False)
+
+    def test_list_tables_cover_reference_keys(self):
+        from mvgformer_tpu.data.datasets import (PANOPTIC_TRAIN_LISTS,
+                                                 PANOPTIC_VAL_LISTS)
+
+        for key in ("all", "seq1", "seq2", "dbg", "seq2-2", "seq2-8",
+                    "ian-1", "ian-3", "dbg-val"):
+            assert key in PANOPTIC_TRAIN_LISTS
+        for key in ("all", "hag", "band", "all-val", "seq2-5", "ian-2"):
+            assert key in PANOPTIC_VAL_LISTS
+
+
+class TestFilterValidObservations:
+    """DATASET.FILTER_VALID_OBSERVATIONS drops frames where any joint of
+    any person is observable by fewer than 3 cameras (panoptic.py:422-443).
+    """
+
+    @pytest.fixture()
+    def filtered_root(self, tmp_path):
+        cam_list = CAM_LIST["CMU0"][:5]
+        cams = make_camera_ring(5, image_size=(1920, 1080))
+        good = make_people(1, seed=3)
+        # a person far outside the capture space: projects out of bounds
+        # in (at least) 3 of the ring cameras
+        bad = good + np.array([50000.0, 0.0, 0.0], np.float32)
+        vis = np.ones((1, 15), np.float32)
+
+        seq_dir = tmp_path / ANNO_SEQ
+        seq_dir.mkdir()
+        with open(seq_dir / f"calibration_{ANNO_SEQ}.json", "w") as f:
+            json.dump(_camera_json(cams, cam_list), f)
+        anno = seq_dir / "hdPose3d_stage1_coco19"
+        anno.mkdir()
+        with open(anno / "body3DScene_00000000.json", "w") as f:
+            json.dump(_body_json(good, vis), f)
+        with open(anno / "body3DScene_00000012.json", "w") as f:
+            json.dump(_body_json(bad, vis), f)
+        # pad the file list so interval-12 sampling reaches index 12
+        for i in range(1, 12):
+            with open(anno / f"body3DScene_{i:08d}.json", "w") as f:
+                json.dump({"bodies": []}, f)
+        for seq in PANOPTIC_VAL_SEQS[1:]:
+            d = tmp_path / seq
+            d.mkdir()
+            with open(d / f"calibration_{seq}.json", "w") as f:
+                json.dump(_camera_json(cams, cam_list), f)
+            (d / "hdPose3d_stage1_coco19").mkdir()
+        return tmp_path
+
+    def test_filter_drops_underobserved_frames(self, filtered_root):
+        cfg = _cfg_for(filtered_root)
+        ds_all = PanopticDataset(cfg, "validation", is_train=False)
+        assert len(ds_all.frames) == 2
+
+        cfg2 = _cfg_for(filtered_root)
+        cfg2.DATASET.FILTER_VALID_OBSERVATIONS = True
+        ds_filt = PanopticDataset(cfg2, "validation", is_train=False)
+        assert len(ds_filt.frames) == 1
+        assert ds_filt.frames[0]["key"].endswith("00000000")

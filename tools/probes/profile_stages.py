@@ -4,6 +4,12 @@ Times each jitted sub-component with honest host readbacks so we know where
 the remaining frame time lives (PERF.md's breakdown predates compaction).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), '..', '..'))
+
 import time
 
 import jax
