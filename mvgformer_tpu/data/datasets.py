@@ -826,14 +826,19 @@ class SyntheticDataset(MultiViewDataset):
     the real datasets."""
 
     def __init__(self, cfg: Config, image_set: str, is_train: bool,
-                 num_frames: int = 16):
+                 num_frames: Optional[int] = None):
         super().__init__(cfg, image_set, is_train)
-        from mvgformer_tpu.data.synthetic import make_batch
-
         self._cfg = cfg
         self._seed0 = 0 if is_train else 10_000
         self._cache = {}
+        if num_frames is None:
+            num_frames = cfg.DATASET.MAX_DATA_NUM or 16
         self.frames = [{"key": str(i)} for i in range(num_frames)]
+
+    def _num_people(self, i: int) -> int:
+        # vary scene density deterministically (1..min(4, MAX)) so trained
+        # scoring must actually separate people from empty queries
+        return 1 + int(i) % min(4, self._cfg.MULTI_PERSON.MAX_PEOPLE_NUM)
 
     def _frame(self, i: int, load_images: bool):
         key = (int(i), bool(load_images))
@@ -842,7 +847,7 @@ class SyntheticDataset(MultiViewDataset):
 
             self._cache[key] = make_batch(
                 self._cfg, batch_size=1, seed=self._seed0 + int(i),
-                num_people=2, render=load_images)
+                num_people=self._num_people(i), render=load_images)
         return self._cache[key]
 
     def load_batch(self, indices, load_images: bool = True):

@@ -1,0 +1,128 @@
+"""Synthetic-AP ablation harness (VERDICT r2 item 2).
+
+Trains the flagship-proxy (configs/synthetic_ap_ablation.yaml) to
+convergence on SyntheticDataset, then tables AP25/MPJPE across the
+AP-affecting inference knobs:
+
+    {svd(linalg), eigh, jacobi} triangulation solvers
+  x {dense, top-K 256/128/64} query compaction
+  x {windowed layer-1 sampling on/off} (jacobi x {dense, K=128} only)
+
+The resulting table justifies (or forbids) the bench.py production
+defaults. Protocol anchor: the reference evaluates AP/MPJPE per
+confidence threshold after NMS (/root/reference/lib/dataset/
+panoptic.py:493-764); eval here reuses the run/validate.py CLI unchanged.
+
+Usage:
+    python tools/ap_ablation.py train    # ~1h on the TPU
+    python tools/ap_ablation.py eval     # ~1h (14 jitted configs)
+    python tools/ap_ablation.py all
+"""
+
+import ast
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = os.path.join(REPO, "configs", "synthetic_ap_ablation.yaml")
+OUT = os.path.join(REPO, "output", "ap_ablation")
+RESULTS = os.path.join(OUT, "results.jsonl")
+
+
+def run(script, *args, timeout=7200):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":/root/.axon_site:" + env.get(
+        "PYTHONPATH", "")
+    cmd = [sys.executable, os.path.join(REPO, "run", script),
+           "--cfg", CFG, f"OUTPUT_DIR={OUT}", *args]
+    print("+", " ".join(cmd), flush=True)
+    return subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                          timeout=timeout, env=env)
+
+
+def find_checkpoint():
+    for root, dirs, _ in os.walk(OUT):
+        if "checkpoints" in dirs:
+            return os.path.join(root, "checkpoints")
+    raise FileNotFoundError(f"no checkpoints under {OUT}")
+
+
+def train():
+    t0 = time.time()
+    res = run("train.py")
+    print(res.stdout[-3000:])
+    print(res.stderr[-3000:])
+    if res.returncode != 0:
+        sys.exit("training failed")
+    print(f"trained in {(time.time()-t0)/60:.1f} min")
+
+
+METRIC_RE = re.compile(r"thr=[\d.]+\s+(\{.*\})")
+
+
+def eval_config(name, overrides, ckpt):
+    t0 = time.time()
+    res = run("validate.py", "--model_path", ckpt, *overrides,
+              timeout=3600)
+    combined = res.stdout + res.stderr
+    m = METRIC_RE.search(combined)
+    if res.returncode != 0 or not m:
+        print(f"[{name}] FAILED\n{combined[-2000:]}")
+        return None
+    metrics = ast.literal_eval(m.group(1))
+    row = {"config": name, "ap25": metrics.get("ap@25"),
+           "ap50": metrics.get("ap@50"), "ap100": metrics.get("ap@100"),
+           "mpjpe": metrics.get("mpjpe"),
+           "recall500": metrics.get("recall@500"),
+           "wall_s": round(time.time() - t0, 1)}
+    print(json.dumps(row), flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    return row
+
+
+def evaluate():
+    ckpt = find_checkpoint()
+    print("checkpoint:", ckpt)
+    configs = []
+    for solver in ("linalg", "eigh", "jacobi"):
+        for topk in (None, 256, 128, 64):
+            name = f"{solver}_{'dense' if topk is None else f'k{topk}'}"
+            ov = [f"DECODER.triangulation_method={solver}"]
+            if topk is not None:
+                ov.append(f"DECODER.inference_topk_queries={topk}")
+            configs.append((name, ov))
+    for topk in (None, 128):
+        name = f"jacobi_{'dense' if topk is None else f'k{topk}'}_windowed"
+        ov = ["DECODER.triangulation_method=jacobi",
+              "DECODER.layer1_windowed_sampling=true"]
+        if topk is not None:
+            ov.append(f"DECODER.inference_topk_queries={topk}")
+        configs.append((name, ov))
+
+    rows = []
+    for name, ov in configs:
+        # unique pred-file name per config so the cache can't cross-talk
+        row = eval_config(name, ov, ckpt)
+        if row:
+            rows.append(row)
+
+    print("\n| config | AP25 | AP50 | AP100 | MPJPE | recall@500 |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['config']} | {r['ap25']:.4f} | {r['ap50']:.4f} | "
+              f"{r['ap100']:.4f} | {r['mpjpe']:.2f} | "
+              f"{r['recall500']:.4f} |")
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT, exist_ok=True)
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode in ("train", "all"):
+        train()
+    if mode in ("eval", "all"):
+        evaluate()
