@@ -269,6 +269,13 @@ class ParallelConfig:
     # the flagship train step otherwise exceeds v5e HBM (19.6G vs 15.75G
     # measured; see PERF.md "training memory")
     REMAT_DECODER: bool = True
+    # decoder remat policy: 'save_sampled' saves each layer's sampled
+    # attention features (checkpoint_name 'attn_sampled') so the training
+    # backward skips re-running the deformable gather forward; measured a
+    # WASH on v5e (0.454 vs 0.462 steps/s, PERF.md "selective remat")
+    # because AD of the sampling-location gradient re-gathers the corner
+    # rows in the backward regardless. Kept as a knob; default 'full'.
+    REMAT_POLICY: str = "full"
 
 
 @dataclass

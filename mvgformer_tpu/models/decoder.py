@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from jax.ad_checkpoint import checkpoint_name
+
 from mvgformer_tpu.data.meta import ViewData
 from mvgformer_tpu.geometry.cameras import (
     project_points,
@@ -250,6 +252,12 @@ class DQDecoderLayer(nn.Module):
         attn = attn.reshape(V, B, Nq, C)
         # zero features whose projection fell outside the image (:585-588)
         attn = attn * jnp.swapaxes(bounds, 0, 1)[..., None].astype(attn.dtype)
+        # name the sampled features so the decoder's selective-remat policy
+        # can save them: re-deriving this tensor is the expensive part of a
+        # layer recompute (the deformable gather), while everything
+        # downstream (fuse/heads/triangulation) is cheap to rebuild.
+        # Outside jax.checkpoint this is a no-op.
+        attn = checkpoint_name(attn, "attn_sampled")
 
         # (3) fuse into query features
         tgt_update = self.update_feature(tgt, jnp.mean(attn, axis=0),
@@ -401,6 +409,14 @@ class DQDecoder(nn.Module):
     # flagship train step otherwise exceeds v5e HBM (PERF.md "training
     # memory"); inference is unaffected
     remat: bool = False
+    # remat policy: 'full' recomputes the whole layer in the backward;
+    # 'save_sampled' additionally saves the per-layer sampled attention
+    # features (checkpoint_name 'attn_sampled', ~V*Nq*C bf16 ≈ 40 MB per
+    # flagship layer) so the backward skips re-running the deformable
+    # gather forward. Measured a wash at the flagship training config
+    # (PERF.md "selective remat"): the location-gradient VJP re-gathers
+    # in the backward either way.
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src_views,
@@ -431,8 +447,11 @@ class DQDecoder(nn.Module):
                         filter_method=filter_method, train=train,
                         triangulate_topk=_tk)
 
+                policy = (jax.checkpoint_policies.save_only_these_names(
+                    "attn_sampled")
+                    if self.remat_policy == "save_sampled" else None)
                 out, refs, ref2d, projs2d, class_prob = nn.remat(
-                    body, prevent_cse=True)(
+                    body, prevent_cse=True, policy=policy)(
                     layer, out, qpos, refs, view_data, qmask, *src_views)
             else:
                 out, refs, ref2d, projs2d, class_prob = layer(

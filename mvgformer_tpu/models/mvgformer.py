@@ -135,6 +135,7 @@ class MVGFormer(nn.Module):
             share_layer_weights=dec.share_layer_weights,
             num_joints=dec.num_keypoints,
             remat=self.cfg.PARALLEL.REMAT_DECODER,
+            remat_policy=self.cfg.PARALLEL.REMAT_POLICY,
             layer_kwargs=dict(
                 d_model=dec.d_model,
                 d_ffn=dec.dim_feedforward,

@@ -217,3 +217,21 @@ class TestPallasKernel:
             jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w),
             interpret=True))
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+class TestUnstackedProductionPath:
+    """The per-(view, head) grouped-table production path (size gate
+    N*H*Lq*P >= 262144) must match the simple gather implementation —
+    the small-shape tests above never cross the gate, so this is the only
+    coverage of the standalone-table/grouped-level code."""
+
+    def test_matches_simple_impl_at_gate(self, rng):
+        from mvgformer_tpu.ops.sampling import deform_sample_corner
+
+        # 2 * 4 * 1024 * 8 = 65536 * 4 = 262144: exactly at the gate
+        value, locs, w = _random_inputs(rng, N=2, Lq=1024, H=4, D=8, P=8)
+        a = np.asarray(deform_sample(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w)))
+        b = np.asarray(deform_sample_corner(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w)))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

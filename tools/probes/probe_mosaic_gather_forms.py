@@ -17,13 +17,16 @@ from jax.experimental.pallas import tpu as pltpu
 def run_form(name, kernel, inputs, out_shape, grid=None, in_specs=None,
              out_specs=None):
     try:
-        fn = pl.pallas_call(
-            kernel,
-            out_shape=out_shape,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_specs,
-        )
+        # current pallas rejects in_specs/out_specs=None — pass only
+        # what's set
+        kw = {}
+        if grid is not None:
+            kw["grid"] = grid
+        if in_specs is not None:
+            kw["in_specs"] = in_specs
+        if out_specs is not None:
+            kw["out_specs"] = out_specs
+        fn = pl.pallas_call(kernel, out_shape=out_shape, **kw)
         r = jax.jit(fn)(*inputs)
         r.block_until_ready()
         # correctness spot check where possible
