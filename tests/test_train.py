@@ -85,9 +85,11 @@ class TestRemat:
             match_queries
 
         results = {}
-        for remat in (False, True):
+        for remat, policy in ((False, "full"), (True, "full"),
+                              (True, "save_sampled")):
             cfg = small_cfg()
             cfg.PARALLEL.REMAT_DECODER = remat
+            cfg.PARALLEL.REMAT_POLICY = policy
             model = MVGFormer(cfg=cfg)
             batch = make_batch(cfg, batch_size=1, seed=0, num_people=2)
             state, tx = create_train_state(cfg, model, batch,
@@ -104,19 +106,22 @@ class TestRemat:
 
             loss, grads = jax.jit(jax.value_and_grad(loss_only))(
                 state.params, batch)
-            results[remat] = (float(loss), jax.tree_util.tree_leaves(
-                grads["decoder"]))
-        # forward (and the dropout-mask replay) must be bit-equivalent
-        np.testing.assert_allclose(results[False][0], results[True][0],
-                                   rtol=1e-6)
-        # backward recompute reassociates f32 reductions; through the
-        # ill-conditioned SVD-triangulation gradient that amplifies to
-        # ~2e-3 of leaf scale (measured; a dropout-replay or structural
-        # bug would show up as O(1) differences)
-        for x, y in zip(results[False][1], results[True][1]):
-            x, y = np.asarray(x), np.asarray(y)
-            scale = max(np.abs(x).max(), 1e-3)
-            np.testing.assert_allclose(x, y, rtol=1e-2, atol=3e-3 * scale)
+            results[(remat, policy)] = (
+                float(loss),
+                jax.tree_util.tree_leaves(grads["decoder"]))
+        base = results[(False, "full")]
+        for key in ((True, "full"), (True, "save_sampled")):
+            # forward (and the dropout-mask replay) must be bit-equivalent
+            np.testing.assert_allclose(base[0], results[key][0], rtol=1e-6)
+            # backward recompute reassociates f32 reductions; through the
+            # ill-conditioned SVD-triangulation gradient that amplifies to
+            # ~2e-3 of leaf scale (measured; a dropout-replay or
+            # structural bug would show up as O(1) differences)
+            for x, y in zip(base[1], results[key][1]):
+                x, y = np.asarray(x), np.asarray(y)
+                scale = max(np.abs(x).max(), 1e-3)
+                np.testing.assert_allclose(x, y, rtol=1e-2,
+                                           atol=3e-3 * scale)
 
 
 class TestMeshTraining:
