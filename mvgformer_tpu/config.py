@@ -194,6 +194,11 @@ class TrainConfig:
     clip_max_norm: float = 0.1
     LR_SCHEDULER: str = "multistep"  # multistep | cosine
     SEED: int = 42
+    # train the backbone instead of freezing it (deviation knob: the
+    # reference hard-freezes because it always loads pretrained backbone
+    # weights, run/train_3d.py:118-121; training from scratch on
+    # synthetic data needs the backbone to learn)
+    TRAIN_BACKBONE: bool = False
 
 
 @dataclass

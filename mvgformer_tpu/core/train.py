@@ -47,18 +47,21 @@ def make_lr_schedule(cfg: Config, steps_per_epoch: int):
     return optax.piecewise_constant_schedule(base, boundaries)
 
 
-def _param_labels(params) -> Any:
+def _param_labels(params, train_backbone: bool = False) -> Any:
     """Label tree: 'frozen' (backbone), 'proj' (0.1x lr), 'main'.
 
     Mirrors get_optimizer (run/train_3d.py:116-146): backbone requires_grad
     False; params whose name contains 'sampling_offsets' or
     'reference_points' go to the lr_linear_proj_mult group.
+    TRAIN.TRAIN_BACKBONE=True moves the backbone into 'main' (a deviation
+    knob the reference lacks: it always has pretrained backbone weights to
+    freeze; synthetic-data training from scratch does not).
     """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def label_of(path):
         keys = [getattr(p, "key", str(p)) for p in path]
-        if keys and keys[0] == "backbone":
+        if keys and keys[0] == "backbone" and not train_backbone:
             return "frozen"
         if any("sampling_offsets" in k or "reference_points" in k
                for k in keys):
@@ -99,7 +102,8 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
         optax.multi_transform(
             {"main": adam(1.0), "proj": adam(mult),
              "frozen": optax.set_to_zero()},
-            _param_labels,
+            lambda params: _param_labels(
+                params, train_backbone=cfg.TRAIN.TRAIN_BACKBONE),
         ),
     )
 

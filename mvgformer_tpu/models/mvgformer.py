@@ -223,8 +223,11 @@ class MVGFormer(nn.Module):
         # the backbone is architecturally frozen (reference
         # run/train_3d.py:118-121, dq_transformer.py:763-766): cutting the
         # gradient here lets XLA skip the whole backbone backward and free
-        # its activations instead of holding them for the train step
-        feats = [jax.lax.stop_gradient(f) for f in feats]
+        # its activations instead of holding them for the train step.
+        # TRAIN.TRAIN_BACKBONE=True (no reference equivalent) keeps the
+        # gradient for from-scratch training on synthetic data.
+        if not self.cfg.TRAIN.TRAIN_BACKBONE:
+            feats = [jax.lax.stop_gradient(f) for f in feats]
         spatial_shapes = tuple(
             (int(f.shape[1]), int(f.shape[2])) for f in feats)
 

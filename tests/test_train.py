@@ -47,6 +47,25 @@ class TestTrainStep:
         np.testing.assert_array_equal(np.asarray(backbone_before),
                                       np.asarray(backbone_after))
 
+    def test_train_backbone_knob_updates_backbone(self):
+        """TRAIN.TRAIN_BACKBONE=True (synthetic from-scratch training;
+        the reference always freezes, run/train_3d.py:118-121) must make
+        backbone params actually move."""
+        cfg = small_cfg()
+        cfg.TRAIN.TRAIN_BACKBONE = True
+        model = MVGFormer(cfg=cfg)
+        batch = make_batch(cfg, batch_size=1, seed=0, num_people=2,
+                           render=True)
+        state, tx = create_train_state(cfg, model, batch,
+                                       jax.random.PRNGKey(0))
+        before = np.asarray(jax.tree_util.tree_leaves(
+            state.params["backbone"])[0]).copy()
+        step = make_train_step(cfg, model, tx, donate=False)
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+        after = np.asarray(jax.tree_util.tree_leaves(
+            state.params["backbone"])[0])
+        assert np.abs(after - before).max() > 0
+
     def test_param_groups(self):
         cfg = small_cfg()
         model = MVGFormer(cfg=cfg)
