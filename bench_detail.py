@@ -15,7 +15,7 @@ ITERS = 20
 
 
 def run_config(name, batch_size=1, topk=None, solver="linalg",
-               windowed=False):
+               windowed=False, offset_clamp=None, window_impl="xla"):
     import jax
     import jax.numpy as jnp
 
@@ -29,6 +29,8 @@ def run_config(name, batch_size=1, topk=None, solver="linalg",
     cfg.NETWORK.IMAGE_SIZE = [960, 512]
     cfg.DECODER.inference_topk_queries = topk
     cfg.DECODER.triangulation_method = solver
+    cfg.DECODER.layer1_offset_clamp = offset_clamp
+    cfg.DECODER.layer1_window_impl = window_impl
 
     threshold = 0.1
     model = MVGFormer(cfg=cfg)
@@ -120,9 +122,23 @@ def main():
     run_config("topk256_svd_b1", topk=256, solver="linalg")
     run_config("dense_jacobi_windowed_b1", topk=None, solver="jacobi",
                windowed=True)
+    # semantics-changing clamped-offset windows (AP cost measured by
+    # tools/ap_ablation.py; PERF.md "clamped-offset windows")
+    for clamp, impl in ((4.0, "xla"), (2.0, "xla"),
+                        (4.0, "pallas"), (2.0, "pallas")):
+        run_config(f"topk128_jacobi_winclamp{int(clamp)}_{impl}_b1",
+                   topk=128, solver="jacobi", windowed=True,
+                   offset_clamp=clamp, window_impl=impl)
+    run_config("topk128_jacobi_clamp4_gather_b1", topk=128,
+               solver="jacobi", offset_clamp=4.0)
     run_config("dense_jacobi_b1", topk=None, solver="jacobi")
     run_config("topk256_jacobi_b2", batch_size=2, topk=256, solver="jacobi")
     run_train_config("train_gtmatch_linalg_b1", solver="linalg")
+    # training-solver lever (VERDICT r2 item 4): svd costs ~23 ms/layer
+    # fwd and more in the VJP; AP effect measured on the synthetic
+    # harness (tools/ap_ablation.py train_solver mode)
+    run_train_config("train_gtmatch_jacobi_b1", solver="jacobi")
+    run_train_config("train_gtmatch_eigh_b1", solver="eigh")
 
 
 if __name__ == "__main__":

@@ -173,6 +173,17 @@ class DecoderConfig:
     layer1_windowed_sampling: bool = False
     layer1_window_halo: Optional[int] = None  # default dec_n_points + 2
     layer1_window_tile: int = 8
+    # 'xla' (blocked einsum) or 'pallas' (scalar-prefetch tile kernel,
+    # ops/window_pallas.py); TPU-only either way
+    layer1_window_impl: str = "xla"
+    # SEMANTICS-CHANGING inference fast path: clamp the layer-1 learned
+    # sampling offsets to +-this many pixels (each level's own pixel
+    # units). With layer1_window_halo >= clamp + 2 the windowed path is
+    # then EXACT w.r.t. the clamped model (escape mass ~0) and its VPU
+    # cost shrinks ~(K/28)^2. AP cost of the clamp itself is measured by
+    # tools/ap_ablation.py before this may back a headline number.
+    # None = off (reference semantics).
+    layer1_offset_clamp: Optional[float] = None
 
 
 @dataclass
@@ -199,6 +210,11 @@ class TrainConfig:
     # weights, run/train_3d.py:118-121; training from scratch on
     # synthetic data needs the backbone to learn)
     TRAIN_BACKBONE: bool = False
+    # drop optimizer updates containing non-finite values
+    # (optax.apply_if_finite): robustness knob for from-scratch synthetic
+    # training where degenerate camera geometry can spike the
+    # triangulation VJP; default off (reference has no equivalent)
+    SKIP_NONFINITE: bool = False
 
 
 @dataclass

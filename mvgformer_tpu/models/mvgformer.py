@@ -321,7 +321,8 @@ class MVGFormer(nn.Module):
             query_mask=query_mask, threshold=threshold,
             filter_method=filter_method, train=train,
             topk_queries=dec.inference_topk_queries,
-            window_plan=window_plan)
+            window_plan=window_plan,
+            layer1_offset_clamp=dec.layer1_offset_clamp)
 
         cji = dec.convert_joint_format_indices
         outs = []
@@ -364,7 +365,8 @@ def feature_spatial_shapes(cfg: Config):
     return tuple((H // s, W // s) for s in sel)
 
 
-def build_layer1_window_plan(cfg: Config, view_data, tile: int = 8,
+def build_layer1_window_plan(cfg: Config, view_data,
+                             tile: Optional[int] = None,
                              halo: Optional[int] = None):
     """Host-side, once per rig: bucket the static layer-1 sampling
     centers (projected sample_space grid) into feature-map tiles for the
@@ -394,6 +396,22 @@ def build_layer1_window_plan(cfg: Config, view_data, tile: int = 8,
     for li, (h, w) in enumerate(shapes):
         centers_px[:, :, li, 0] = lvl[:, :, li, 0] * w - 0.5
         centers_px[:, :, li, 1] = lvl[:, :, li, 1] * h - 0.5
+    if tile is None:
+        tile = dec.layer1_window_tile
     if halo is None:
-        halo = dec.dec_n_points + 2
-    return build_window_plan(centers_px, shapes, tile=tile, halo=halo)
+        halo = dec.layer1_window_halo
+    if halo is None:
+        if dec.layer1_offset_clamp is not None:
+            # clamped offsets: the window is exact once it covers
+            # clamp + 2 px (bilinear stencil + border) past the tile
+            halo = int(np.ceil(dec.layer1_offset_clamp)) + 2
+        else:
+            halo = dec.dec_n_points + 2
+    if (dec.layer1_offset_clamp is not None
+            and dec.layer1_offset_clamp > halo - 2):
+        raise ValueError(
+            "layer1_offset_clamp=%g exceeds halo-2=%d: escaped samples "
+            "would read zero; raise layer1_window_halo" %
+            (dec.layer1_offset_clamp, halo - 2))
+    return build_window_plan(centers_px, shapes, tile=tile, halo=halo,
+                             impl=dec.layer1_window_impl)

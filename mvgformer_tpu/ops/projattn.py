@@ -65,7 +65,8 @@ class ProjAttn(nn.Module):
                  src_views: Sequence[jnp.ndarray],
                  spatial_shapes: Sequence[Tuple[int, int]],
                  camera_ray_embeds: Optional[jnp.ndarray] = None,
-                 window_plan=None) -> jnp.ndarray:
+                 window_plan=None,
+                 offset_clamp_px: Optional[float] = None) -> jnp.ndarray:
         """
         Args:
             query:            (N, Lq, C) per-view query features (already
@@ -145,6 +146,12 @@ class ProjAttn(nn.Module):
         # axis (projattn.py:180-184). total levels = feat_lvls * n_levels.
         Lt = feat_lvls * self.n_levels
         offsets = offsets.reshape(N, Lq, H, Lt, P, 2)
+        if offset_clamp_px is not None:
+            # semantics-changing fast path (DECODER.layer1_offset_clamp):
+            # bound learned offsets to +-clamp px in each level's own
+            # pixel units so a small-halo window covers every sample
+            offsets = jnp.clip(offsets, -float(offset_clamp_px),
+                               float(offset_clamp_px))
         weights = weights.reshape(N, Lq, H, Lt * P)
         weights = jax.nn.softmax(weights, axis=-1).reshape(N, Lq, H, Lt, P)
 

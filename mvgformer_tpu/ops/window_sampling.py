@@ -25,6 +25,11 @@ Semantics vs the exact sampler (ops/sampling.py):
     px per level, projattn.py:96-107), so halo >= n_points + 2 makes the
     op exact; for trained checkpoints the escape WEIGHT MASS is returned
     as a telemetry scalar so the deviation is measurable per frame.
+    Only samples whose stencil touches the REAL map are counted: off-map
+    samples read zero in the exact sampler too, so missing their window
+    is not a deviation (common for queries projecting outside a view).
+    With DECODER.layer1_offset_clamp <= halo - 2 the telemetry reads 0
+    by construction.
 
 This is an inference-only fast path (the training path keeps the exact
 gather formulation); enable with DECODER.layer1_windowed_sampling.
@@ -60,12 +65,14 @@ class LevelPlan(NamedTuple):
 class WindowPlan(NamedTuple):
     levels: Tuple[LevelPlan, ...]
     halo: int
+    impl: str = "xla"  # 'xla' | 'pallas' (ops/window_pallas.py)
 
 
 def build_window_plan(centers_px: np.ndarray,
                       spatial_shapes: Sequence[Tuple[int, int]],
                       tile: int = 8, halo: int = 10,
-                      block_rows: Sequence[int] = None) -> WindowPlan:
+                      block_rows: Sequence[int] = None,
+                      impl: str = "xla") -> WindowPlan:
     """Host-side plan: assign each (view, query, level) to a static tile.
 
     centers_px: (V, Lq, L, 2) static sampling centers in each level's
@@ -154,7 +161,7 @@ def build_window_plan(centers_px: np.ndarray,
             block_tile=block_tile.astype(np.int32),
             inv_perm=inv_perm.astype(np.int32),
             n_tiles=n_tiles, grid_hw=(nty, ntx)))
-    return WindowPlan(levels=tuple(plans), halo=halo)
+    return WindowPlan(levels=tuple(plans), halo=halo, impl=impl)
 
 
 def _tile_windows(v_map: jnp.ndarray, plan: LevelPlan) -> jnp.ndarray:
@@ -192,7 +199,7 @@ def window_sample(value: jnp.ndarray,
                   attention_weights: jnp.ndarray,
                   plan: WindowPlan,
                   row_dtype: jnp.dtype = jnp.bfloat16,
-                  impl: str = "xla"):
+                  impl: str = None):
     """Windowed deformable sampling; same contract as deform_sample plus a
     telemetry scalar.
 
@@ -203,6 +210,8 @@ def window_sample(value: jnp.ndarray,
     """
     V, Len_in, H, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
+    if impl is None:
+        impl = plan.impl
     plan_v = plan.levels[0].row_query.shape[0]
     if V != plan_v:
         # caller folded (views, batch) view-major (n = v*B + b); the plan
@@ -216,7 +225,7 @@ def window_sample(value: jnp.ndarray,
                 row_origin=np.repeat(lp.row_origin, B, axis=0),
                 block_tile=np.repeat(lp.block_tile, B, axis=0),
                 inv_perm=np.repeat(lp.inv_perm, B, axis=0))
-            for lp in plan.levels), halo=plan.halo)
+            for lp in plan.levels), halo=plan.halo, impl=impl)
     out = jnp.zeros((V, Lq, H, D), dtype=jnp.float32)
     escaped = jnp.float32(0.0)
     start = 0
@@ -246,17 +255,27 @@ def window_sample(value: jnp.ndarray,
         def take_rows(a, idx):  # a: (Lq, ...) idx: (nrows,)
             return jnp.take(a, idx, axis=0)
 
+        def touch_mask(px_r, py_r):
+            # escape telemetry counts only samples whose stencil overlaps
+            # the REAL map: off-map samples read zero in the exact
+            # sampler too (deform_sample's `touch`), so a window miss on
+            # them is not a semantic deviation. px_r/py_r are in PADDED
+            # pixel coords.
+            return ((px_r > lp.pad - 1.0) & (px_r < w + lp.pad)
+                    & (py_r > lp.pad - 1.0)
+                    & (py_r < h + lp.pad)).astype(jnp.float32)
+
         if impl == "pallas":
             from mvgformer_tpu.ops.window_pallas import \
                 window_block_matmul
 
             def pack_view(px_v, py_v, aw_v, rq_v, rvalid_v, rorig_v):
-                rx = (take_rows(px_v, rq_v)
-                      - rorig_v[:, None, None, 0].astype(jnp.float32))
-                ry = (take_rows(py_v, rq_v)
-                      - rorig_v[:, None, None, 1].astype(jnp.float32))
+                px_r = take_rows(px_v, rq_v)
+                py_r = take_rows(py_v, rq_v)
+                rx = px_r - rorig_v[:, None, None, 0].astype(jnp.float32)
+                ry = py_r - rorig_v[:, None, None, 1].astype(jnp.float32)
                 ra = take_rows(aw_v, rq_v) * rvalid_v[:, None, None]
-                esc = jnp.sum(ra * jnp.maximum(
+                esc = jnp.sum(ra * touch_mask(px_r, py_r) * jnp.maximum(
                     0.0, 1.0 - _inside_mass(rx, ry, K)))
                 rel = jnp.concatenate([ry, rx, ra], axis=-1)
                 return rel.reshape(nrows, -1), esc
@@ -279,10 +298,10 @@ def window_sample(value: jnp.ndarray,
 
         def per_view(px_v, py_v, aw_v, tiles_v, rq_v, rvalid_v, rorig_v,
                      btile_v, iperm_v):
-            rx = (take_rows(px_v, rq_v)
-                  - rorig_v[:, None, None, 0].astype(jnp.float32))
-            ry = (take_rows(py_v, rq_v)
-                  - rorig_v[:, None, None, 1].astype(jnp.float32))
+            px_r = take_rows(px_v, rq_v)
+            py_r = take_rows(py_v, rq_v)
+            rx = px_r - rorig_v[:, None, None, 0].astype(jnp.float32)
+            ry = py_r - rorig_v[:, None, None, 1].astype(jnp.float32)
             ra = take_rows(aw_v, rq_v) * rvalid_v[:, None, None]
             grid = jnp.arange(K, dtype=jnp.float32)
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry[..., None] - grid))
@@ -291,7 +310,8 @@ def window_sample(value: jnp.ndarray,
             # (sum wy)(sum wx) == 1 (zero-padding border reproduces the
             # exact sampler's own border semantics)
             inmass = jnp.sum(wy, -1) * jnp.sum(wx, -1)
-            esc = jnp.sum(ra * jnp.maximum(0.0, 1.0 - inmass))
+            esc = jnp.sum(ra * touch_mask(px_r, py_r)
+                          * jnp.maximum(0.0, 1.0 - inmass))
             rw = jnp.einsum('rhpy,rhpx->rhyx', wy * ra[..., None], wx)
             rw = rw.reshape(nrows, H, K * K).astype(row_dtype)
             ops = tiles_v[btile_v]                  # (nb, K*K, H, D)

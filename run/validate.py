@@ -198,8 +198,9 @@ def main():
             if telemetry:
                 logger.info(
                     "windowed-sampling escaped weight mass: %.6g over %d "
-                    "frames (%.3g/frame; >0 means learned offsets left "
-                    "their halo and sampled zeros)", escaped_total,
+                    "frames (%.3g/frame; >0 means ON-MAP samples left "
+                    "their halo and read zero — raise layer1_window_halo "
+                    "or set layer1_offset_clamp)", escaped_total,
                     len(preds), escaped_total / max(len(preds), 1))
             if eval_loss_step is not None and val_loss_batches:
                 logger.info("val loss thr=%s  %s", thr, {

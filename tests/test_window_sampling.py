@@ -123,6 +123,76 @@ class TestWindowSampling:
             np.asarray(got[-1]["pred_poses_2d"]),
             np.asarray(ref[-1]["pred_poses_2d"]), atol=1.0)
 
+    def test_small_halo_exact_for_clamped_offsets(self):
+        """The clamped-offset fast path's op-level premise: offsets
+        bounded by halo - 2 px make even a SMALL window exact."""
+        value, locs, aw, centers_px = make_inputs(4, offset_px=1.9)
+        plan = build_window_plan(centers_px, SHAPES, tile=4, halo=4)
+        ref = deform_sample(jnp.asarray(value), SHAPES,
+                            jnp.asarray(locs), jnp.asarray(aw))
+        got, esc = jax.jit(lambda v, l, a: window_sample(
+            v, SHAPES, l, a, plan, row_dtype=jnp.float32))(
+            jnp.asarray(value), jnp.asarray(locs), jnp.asarray(aw))
+        assert float(esc) < 1e-5, float(esc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_full_model_clamped_window_matches_clamped_gather(self):
+        """DECODER.layer1_offset_clamp: the clamp binds (radial-bias init
+        reaches dec_n_points px > clamp), the window halo derives from the
+        clamp (ceil(clamp) + 2), and the windowed model must match the
+        clamped-GATHER model — the clamp sits upstream in ProjAttn and is
+        shared by both sampling paths."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model import small_cfg
+
+        from mvgformer_tpu.data.synthetic import make_batch
+        from mvgformer_tpu.models.mvgformer import (
+            MVGFormer, build_layer1_window_plan)
+
+        cfg = small_cfg()
+        cfg.DECODER.layer1_offset_clamp = 1.0
+        model = MVGFormer(cfg=cfg)
+        batch = make_batch(cfg, batch_size=2, seed=0, num_people=2)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        plan = build_layer1_window_plan(cfg, batch.view_data)
+        assert plan.halo == 3  # ceil(1.0) + 2
+        ref = model.apply(variables, batch, threshold=0.3)
+        got = model.apply(variables, batch, threshold=0.3,
+                          window_plan=plan)
+        np.testing.assert_allclose(
+            np.asarray(got[-1]["pred_logits"]),
+            np.asarray(ref[-1]["pred_logits"]), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(got[-1]["pred_poses"]),
+            np.asarray(ref[-1]["pred_poses"]), atol=4.0)
+        # the clamp itself must be live: unclamped gather differs
+        cfg_off = small_cfg()
+        model_off = MVGFormer(cfg=cfg_off)
+        base = model_off.apply(variables, batch, threshold=0.3)
+        assert np.abs(np.asarray(base[-1]["pred_poses"])
+                      - np.asarray(ref[-1]["pred_poses"])).max() > 1e-3
+
+    def test_clamp_halo_consistency_guard(self):
+        """A halo too small for the clamp must be rejected at plan-build
+        time (escaped samples would silently read zero)."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model import small_cfg
+
+        from mvgformer_tpu.data.synthetic import make_batch
+        from mvgformer_tpu.models.mvgformer import build_layer1_window_plan
+
+        cfg = small_cfg()
+        cfg.DECODER.layer1_offset_clamp = 4.0
+        cfg.DECODER.layer1_window_halo = 3
+        batch = make_batch(cfg, batch_size=1, seed=0, num_people=1)
+        with pytest.raises(ValueError, match="layer1_offset_clamp"):
+            build_layer1_window_plan(cfg, batch.view_data)
+
     def test_border_zero_padding_semantics(self):
         """Centers near the map edge: out-of-map stencil pixels must read
         zero exactly as in the exact sampler."""
