@@ -97,7 +97,7 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
     # in the norm is a no-op, matching the reference's trainable-only set.
     clip = (optax.clip_by_global_norm(cfg.TRAIN.clip_max_norm)
             if cfg.TRAIN.clip_max_norm > 0 else optax.identity())
-    return optax.chain(
+    tx = optax.chain(
         clip,
         optax.multi_transform(
             {"main": adam(1.0), "proj": adam(mult),
@@ -106,6 +106,16 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
                 params, train_backbone=cfg.TRAIN.TRAIN_BACKBONE),
         ),
     )
+    if cfg.TRAIN.SKIP_NONFINITE:
+        # drop (do not apply) any update containing non-finite values —
+        # one degenerate batch (e.g. an ill-conditioned triangulation
+        # VJP) then costs one step instead of poisoning the params. The
+        # inner state still advances on every finite step; after
+        # max_consecutive_errors consecutive bad steps the NaNs are
+        # allowed through so a persistent divergence stays visible in
+        # the loss curve instead of silently freezing training.
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
 
 
 def create_train_state(cfg: Config, model: MVGFormer, batch: Batch,

@@ -845,9 +845,13 @@ class SyntheticDataset(MultiViewDataset):
         if key not in self._cache:
             from mvgformer_tpu.data.synthetic import make_batch
 
+            # cam_seed=0: ONE fixed rig across all frames and both splits
+            # (a real capture studio; also the rig-static windowed-plan
+            # premise). Scenes (people/poses) still vary per frame.
             self._cache[key] = make_batch(
                 self._cfg, batch_size=1, seed=self._seed0 + int(i),
-                num_people=self._num_people(i), render=load_images)
+                num_people=self._num_people(i), render=load_images,
+                cam_seed=0)
         return self._cache[key]
 
     def load_batch(self, indices, load_images: bool = True):

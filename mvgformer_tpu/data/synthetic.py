@@ -114,10 +114,15 @@ def tile_cameras(cams: CameraParams, batch_size: int) -> CameraParams:
 
 def make_batch(cfg, batch_size: int = 1, seed: int = 0,
                num_people: int = 3, image_size=(1920, 1080),
-               render: bool = False):
+               render: bool = False, cam_seed=None):
     """A synthetic Batch at the configured shapes (random images by default;
     render=True draws gaussian blobs at projected joints so a model can
-    actually fit the data in learning tests)."""
+    actually fit the data in learning tests).
+
+    cam_seed: seed for the camera ring alone; None reuses `seed`.
+    SyntheticDataset pins it so all frames share ONE rig, like a real
+    capture studio (panoptic.py's fixed CMU rig) — required by the
+    rig-static windowed layer-1 plan and representative of serving."""
     import jax.numpy as jnp
 
     from mvgformer_tpu.data.meta import (
@@ -132,7 +137,8 @@ def make_batch(cfg, batch_size: int = 1, seed: int = 0,
     center = tuple(cfg.MULTI_PERSON.SPACE_CENTER)
 
     cams = tile_cameras(
-        make_camera_ring(V, image_size=image_size, seed=seed,
+        make_camera_ring(V, image_size=image_size,
+                         seed=seed if cam_seed is None else cam_seed,
                          center=center), batch_size)
     image_wh = np.tile(np.asarray(image_size, np.float32),
                        (batch_size, V, 1))

@@ -217,3 +217,29 @@ class TestViewParallelism:
         # through the iterative triangulation of random-weight queries —
         # allow sub-percent drift (mm-scale outputs)
         np.testing.assert_allclose(got, ref, rtol=1e-2, atol=1.0)
+
+
+class TestSkipNonfinite:
+    def test_nonfinite_updates_are_dropped(self):
+        """TRAIN.SKIP_NONFINITE wraps the optimizer in
+        optax.apply_if_finite: a NaN gradient must produce a zero update
+        (params untouched) while a finite gradient still steps."""
+        from mvgformer_tpu.core.train import make_optimizer
+
+        cfg = small_cfg()
+        cfg.TRAIN.SKIP_NONFINITE = True
+        tx = make_optimizer(cfg, steps_per_epoch=10)
+        params = {"backbone": {"w": jnp.ones((3,))},
+                  "decoder": {"w": jnp.ones((3,))}}
+        state = tx.init(params)
+
+        bad = jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, jnp.nan), params)
+        upd, state2 = tx.update(bad, state, params)
+        assert all(float(jnp.abs(u).max()) == 0.0
+                   for u in jax.tree_util.tree_leaves(upd))
+
+        good = jax.tree_util.tree_map(jnp.ones_like, params)
+        upd2, _ = tx.update(good, state2, params)
+        # decoder group must actually move (backbone frozen by default)
+        assert float(jnp.abs(upd2["decoder"]["w"]).max()) > 0.0

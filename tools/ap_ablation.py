@@ -33,32 +33,47 @@ OUT = os.path.join(REPO, "output", "ap_ablation")
 RESULTS = os.path.join(OUT, "results.jsonl")
 
 
-def run(script, *args, timeout=7200):
+def run(script, *args, timeout=7200, out_dir=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + ":/root/.axon_site:" + env.get(
         "PYTHONPATH", "")
     cmd = [sys.executable, os.path.join(REPO, "run", script),
-           "--cfg", CFG, f"OUTPUT_DIR={OUT}", *args]
+           "--cfg", CFG, f"OUTPUT_DIR={out_dir or OUT}", *args]
     print("+", " ".join(cmd), flush=True)
     return subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
                           timeout=timeout, env=env)
 
 
-def find_checkpoint():
-    for root, dirs, _ in os.walk(OUT):
+def find_checkpoint(root_dir=None):
+    for root, dirs, _ in os.walk(root_dir or OUT):
         if "checkpoints" in dirs:
             return os.path.join(root, "checkpoints")
-    raise FileNotFoundError(f"no checkpoints under {OUT}")
+    raise FileNotFoundError(f"no checkpoints under {root_dir or OUT}")
 
 
-def train():
+def train(*overrides, out_dir=None):
     t0 = time.time()
-    res = run("train.py")
+    res = run("train.py", *overrides, out_dir=out_dir)
     print(res.stdout[-3000:])
     print(res.stderr[-3000:])
     if res.returncode != 0:
         sys.exit("training failed")
     print(f"trained in {(time.time()-t0)/60:.1f} min")
+
+
+def train_solver():
+    """VERDICT r2 item 4: the training-solver comparison. The main `train`
+    mode uses jacobi (linalg NaN'd — see configs/synthetic_ap_ablation.yaml);
+    this trains the alternatives so PERF.md can table the training-AP
+    effect of the solver choice."""
+    for solver in ("eigh", "linalg"):
+        out_dir = os.path.join(OUT, f"train_{solver}")
+        os.makedirs(out_dir, exist_ok=True)
+        train(f"DECODER.triangulation_method={solver}", out_dir=out_dir)
+        ckpt = find_checkpoint(out_dir)
+        eval_config(f"trained_{solver}_eval_{solver}_k128",
+                    [f"DECODER.triangulation_method={solver}",
+                     "DECODER.inference_topk_queries=128"], ckpt)
 
 
 METRIC_RE = re.compile(r"thr=[\d.]+\s+(\{.*\})")
@@ -103,6 +118,16 @@ def evaluate():
         if topk is not None:
             ov.append(f"DECODER.inference_topk_queries={topk}")
         configs.append((name, ov))
+    # clamped layer-1 offsets (DECODER.layer1_offset_clamp): the
+    # semantics-changing window-shrinking lever; measure the clamp's AP
+    # cost alone (gather) and with the small-halo window it enables
+    for clamp in (4.0, 2.0):
+        base = ["DECODER.triangulation_method=jacobi",
+                "DECODER.inference_topk_queries=128",
+                f"DECODER.layer1_offset_clamp={clamp}"]
+        configs.append((f"jacobi_k128_clamp{int(clamp)}", list(base)))
+        configs.append((f"jacobi_k128_clamp{int(clamp)}_windowed",
+                        base + ["DECODER.layer1_windowed_sampling=true"]))
 
     rows = []
     for name, ov in configs:
@@ -126,3 +151,5 @@ if __name__ == "__main__":
         train()
     if mode in ("eval", "all"):
         evaluate()
+    if mode == "train_solver":
+        train_solver()
