@@ -123,6 +123,24 @@ class TestWindowSampling:
             np.asarray(got[-1]["pred_poses_2d"]),
             np.asarray(ref[-1]["pred_poses_2d"]), atol=1.0)
 
+    def test_pallas_impl_matches_exact(self):
+        """The Pallas window kernel (interpret mode off-TPU) must agree
+        with the exact sampler within bf16-weight-row tolerance at a
+        small clamp-class window (K = 4 + 2*6 = 16)."""
+        value, locs, aw, centers_px = make_inputs(5, offset_px=3.0)
+        plan = build_window_plan(centers_px, SHAPES, tile=4, halo=6,
+                                 impl="pallas")
+        ref = deform_sample(jnp.asarray(value), SHAPES,
+                            jnp.asarray(locs), jnp.asarray(aw))
+        got, esc = jax.jit(lambda v, l, a: window_sample(
+            v, SHAPES, l, a, plan))(
+            jnp.asarray(value), jnp.asarray(locs), jnp.asarray(aw))
+        assert float(esc) < 1e-5, float(esc)
+        err = np.abs(np.asarray(got, np.float32) - np.asarray(ref))
+        scale = np.abs(np.asarray(ref)).max()
+        # bf16 rows AND bf16 kernel output: ~2 decimal digits
+        assert err.max() < 4e-2 * scale, (err.max(), scale)
+
     def test_small_halo_exact_for_clamped_offsets(self):
         """The clamped-offset fast path's op-level premise: offsets
         bounded by halo - 2 px make even a SMALL window exact."""
