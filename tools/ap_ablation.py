@@ -103,9 +103,16 @@ def eval_config(name, overrides, ckpt):
 def evaluate():
     ckpt = find_checkpoint()
     print("checkpoint:", ckpt)
+    # 13 configs: each eval is its own XLA compile (~5-10 min on the
+    # proxy), so the matrix carries only decision-relevant points:
+    # the topk sweep on the production solver, the solver comparison at
+    # the production K (+ dense linalg as the closest-to-reference
+    # anchor), and the windowed/clamp fast-path rows.
     configs = []
-    for solver in ("linalg", "eigh", "jacobi"):
-        for topk in (None, 256, 128, 64):
+    for solver, topks in (("jacobi", (None, 256, 128, 64)),
+                          ("linalg", (None, 128)),
+                          ("eigh", (128,))):
+        for topk in topks:
             name = f"{solver}_{'dense' if topk is None else f'k{topk}'}"
             ov = [f"DECODER.triangulation_method={solver}"]
             if topk is not None:

@@ -1,0 +1,117 @@
+"""Device-resident trainer for the synthetic AP-ablation proxy.
+
+run/train.py's general loop pays per-step host costs that are noise on
+real multi-hour runs but dominate this 48-frame proxy through the axon
+relay (measured 2026-08-17: jitted step 1.33 s, loop wall ~21 s/step —
+per-step dispatch + metric readbacks through the ~30 ms-RTT relay). The
+TPU-idiomatic fix for a dataset this small: stage ALL frames in HBM once
+(48 x 7.4 MB), lax.scan the train step over the stacked epoch with a
+device-side shuffle permutation, and read metrics back once per epoch.
+Semantics per step are identical to run/train.py (same make_train_step
+program, same per-epoch reshuffle recipe seed+epoch).
+
+Saves an orbax checkpoint compatible with run/validate.py --model_path,
+which tools/ap_ablation.py 'eval' then consumes unchanged.
+
+Usage:
+    python tools/ap_train_fast.py [KEY.SUB=value ...]
+        --out  output/ap_ablation  (default)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mvgformer_tpu.config import apply_override, load_config
+
+CFG = os.path.join(REPO, "configs", "synthetic_ap_ablation.yaml")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "output", "ap_ablation"))
+    ap.add_argument("--cfg", default=CFG)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+
+    cfg = load_config(args.cfg)
+    for item in args.overrides:
+        apply_override(cfg, item)
+
+    from mvgformer_tpu.core.train import create_train_state, make_train_step
+    from mvgformer_tpu.data.datasets import SyntheticDataset
+    from mvgformer_tpu.models.mvgformer import MVGFormer
+    from mvgformer_tpu.utils.checkpoint import save_checkpoint
+
+    ds = SyntheticDataset(cfg, "train", True)
+    n = len(ds.frames)
+    print(f"staging {n} frames in HBM", flush=True)
+    t0 = time.time()
+    frames = [ds.load_batch([i], load_images=True) for i in range(n)]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jax.device_put(jnp.concatenate(xs, axis=0)), *frames)
+    print(f"staged in {time.time()-t0:.1f}s", flush=True)
+
+    model = MVGFormer(cfg=cfg)
+    one = jax.tree_util.tree_map(lambda a: a[:1], stacked)
+    t0 = time.time()
+    state, tx = create_train_state(cfg, model, one, jax.random.PRNGKey(0),
+                                   steps_per_epoch=n)
+    # donate=False: the donated variant of this program OOM-kills the
+    # remote compile helper on this toolchain (SIGKILL in
+    # tpu_compile_helper, 2026-08-17); the epoch driver below keeps one
+    # state alive anyway so donation would only save one params copy
+    step_fn = make_train_step(cfg, model, tx, donate=False)
+
+    @jax.jit
+    def run_epoch(state, perm, rng):
+        epoch_data = jax.tree_util.tree_map(
+            lambda a: jnp.take(a, perm, axis=0), stacked)
+
+        def body(carry, batch1):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            batch = jax.tree_util.tree_map(lambda a: a[None], batch1)
+            st, metrics = step_fn(st, batch, sub)
+            return (st, r), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, rng), epoch_data)
+        return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+    rng = jax.random.PRNGKey(cfg.TRAIN.SEED)
+    ckpt_dir = os.path.join(args.out, "checkpoints")
+    os.makedirs(args.out, exist_ok=True)
+    log_path = os.path.join(args.out, "fast_train_metrics.jsonl")
+    t_start = time.time()
+    for epoch in range(cfg.TRAIN.END_EPOCH):
+        t0 = time.time()
+        perm = jnp.asarray(
+            np.random.RandomState(cfg.TRAIN.SEED + epoch).permutation(n))
+        rng, sub = jax.random.split(rng)
+        state, metrics = run_epoch(state, perm, sub)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        line = {"epoch": epoch, "wall_s": round(time.time() - t0, 1),
+                **{k: round(v, 4) for k, v in metrics.items()}}
+        print(json.dumps(line), flush=True)
+        with open(log_path, "a") as f:
+            f.write(json.dumps(line) + "\n")
+        if (epoch + 1) % 20 == 0 or epoch + 1 == cfg.TRAIN.END_EPOCH:
+            save_checkpoint(ckpt_dir, state, epoch, next_epoch=epoch + 1)
+            print(f"checkpointed epoch {epoch}", flush=True)
+    print(f"trained {cfg.TRAIN.END_EPOCH} epochs in "
+          f"{(time.time()-t_start)/60:.1f} min", flush=True)
+
+
+if __name__ == "__main__":
+    main()
