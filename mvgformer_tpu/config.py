@@ -210,6 +210,8 @@ class TrainConfig:
     # weights, run/train_3d.py:118-121; training from scratch on
     # synthetic data needs the backbone to learn)
     TRAIN_BACKBONE: bool = False
+    # linear LR warmup epochs (0 = reference behavior, no warmup)
+    WARMUP_EPOCHS: float = 0
     # drop optimizer updates containing non-finite values
     # (optax.apply_if_finite): robustness knob for from-scratch synthetic
     # training where degenerate camera geometry can spike the

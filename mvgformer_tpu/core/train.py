@@ -37,14 +37,23 @@ class TrainState:
 
 def make_lr_schedule(cfg: Config, steps_per_epoch: int):
     """MultiStep (LR_FACTOR at LR_STEP epochs) or cosine over END_EPOCH
-    (run/train_3d.py:280-290)."""
+    (run/train_3d.py:280-290), with optional linear warmup
+    (TRAIN.WARMUP_EPOCHS — a from-scratch stability knob the reference
+    lacks because it always starts from a pretrained backbone; without
+    it the synthetic proxy diverges by epoch 2, 2026-08-17)."""
     base = cfg.TRAIN.LR
     total = cfg.TRAIN.END_EPOCH * steps_per_epoch
+    warmup = int(cfg.TRAIN.WARMUP_EPOCHS * steps_per_epoch)
     if cfg.TRAIN.LR_SCHEDULER == "cosine":
-        return optax.cosine_decay_schedule(base, max(total, 1))
-    boundaries = {int(e) * steps_per_epoch: cfg.TRAIN.LR_FACTOR
-                  for e in cfg.TRAIN.LR_STEP}
-    return optax.piecewise_constant_schedule(base, boundaries)
+        main = optax.cosine_decay_schedule(base, max(total - warmup, 1))
+    else:
+        boundaries = {max(int(e) * steps_per_epoch - warmup, 1):
+                      cfg.TRAIN.LR_FACTOR for e in cfg.TRAIN.LR_STEP}
+        main = optax.piecewise_constant_schedule(base, boundaries)
+    if not warmup:
+        return main
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, base, warmup), main], [warmup])
 
 
 def _param_labels(params, train_backbone: bool = False) -> Any:

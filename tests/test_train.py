@@ -243,3 +243,23 @@ class TestSkipNonfinite:
         upd2, _ = tx.update(good, state2, params)
         # decoder group must actually move (backbone frozen by default)
         assert float(jnp.abs(upd2["decoder"]["w"]).max()) > 0.0
+
+
+def test_lr_warmup_schedule():
+    """TRAIN.WARMUP_EPOCHS ramps 0 -> LR linearly, then the multistep
+    decay applies at LR_STEP epochs (measured from epoch 0, matching the
+    reference's epoch-indexed milestones)."""
+    from mvgformer_tpu.core.train import make_lr_schedule
+
+    cfg = small_cfg()
+    cfg.TRAIN.LR = 1e-3
+    cfg.TRAIN.WARMUP_EPOCHS = 2
+    cfg.TRAIN.LR_STEP = [4]
+    cfg.TRAIN.LR_FACTOR = 0.1
+    cfg.TRAIN.END_EPOCH = 6
+    s = make_lr_schedule(cfg, steps_per_epoch=10)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(10)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(s(20)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(39)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(41)), 1e-4, rtol=1e-6)
