@@ -58,36 +58,26 @@ def main():
     n = len(ds.frames)
     print(f"staging {n} frames in HBM", flush=True)
     t0 = time.time()
-    frames = [ds.load_batch([i], load_images=True) for i in range(n)]
-    stacked = jax.tree_util.tree_map(
-        lambda *xs: jax.device_put(jnp.concatenate(xs, axis=0)), *frames)
+    # one device-resident Batch per frame (leading dim 1). A scanned
+    # whole-epoch program was tried first and crashed the TPU worker at
+    # compile; dispatching the single-step program from a python loop is
+    # just as fast here — dispatch is async, steps queue device-side, and
+    # the only synchronization is one metric readback per epoch.
+    frames = [jax.device_put(ds.load_batch([i], load_images=True))
+              for i in range(n)]
     print(f"staged in {time.time()-t0:.1f}s", flush=True)
 
     model = MVGFormer(cfg=cfg)
-    one = jax.tree_util.tree_map(lambda a: a[:1], stacked)
     t0 = time.time()
-    state, tx = create_train_state(cfg, model, one, jax.random.PRNGKey(0),
+    state, tx = create_train_state(cfg, model, frames[0],
+                                   jax.random.PRNGKey(0),
                                    steps_per_epoch=n)
     # donate=False: the donated variant of this program OOM-kills the
     # remote compile helper on this toolchain (SIGKILL in
-    # tpu_compile_helper, 2026-08-17); the epoch driver below keeps one
-    # state alive anyway so donation would only save one params copy
-    step_fn = make_train_step(cfg, model, tx, donate=False)
-
-    @jax.jit
-    def run_epoch(state, perm, rng):
-        epoch_data = jax.tree_util.tree_map(
-            lambda a: jnp.take(a, perm, axis=0), stacked)
-
-        def body(carry, batch1):
-            st, r = carry
-            r, sub = jax.random.split(r)
-            batch = jax.tree_util.tree_map(lambda a: a[None], batch1)
-            st, metrics = step_fn(st, batch, sub)
-            return (st, r), metrics
-
-        (state, _), metrics = jax.lax.scan(body, (state, rng), epoch_data)
-        return state, jax.tree_util.tree_map(jnp.mean, metrics)
+    # tpu_compile_helper, 2026-08-17), and its XLA cache entry from
+    # tools/probes/probe_proxy_train_step.py is reused this way
+    step_fn = make_train_step(cfg, model, tx, donate=False)  # jitted
+    print(f"state built in {time.time()-t0:.1f}s", flush=True)
 
     rng = jax.random.PRNGKey(cfg.TRAIN.SEED)
     ckpt_dir = os.path.join(args.out, "checkpoints")
@@ -96,10 +86,11 @@ def main():
     t_start = time.time()
     for epoch in range(cfg.TRAIN.END_EPOCH):
         t0 = time.time()
-        perm = jnp.asarray(
-            np.random.RandomState(cfg.TRAIN.SEED + epoch).permutation(n))
-        rng, sub = jax.random.split(rng)
-        state, metrics = run_epoch(state, perm, sub)
+        perm = np.random.RandomState(cfg.TRAIN.SEED + epoch).permutation(n)
+        metrics = None
+        for i in perm:
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, frames[int(i)], sub)
         metrics = {k: float(v) for k, v in metrics.items()}
         line = {"epoch": epoch, "wall_s": round(time.time() - t0, 1),
                 **{k: round(v, 4) for k, v in metrics.items()}}
