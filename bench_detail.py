@@ -116,30 +116,53 @@ def run_train_config(name, batch_size=1, solver="linalg", iters=5):
     return sps
 
 
-def main():
-    run_config("topk128_jacobi_b1", topk=128, solver="jacobi")
-    run_config("topk256_jacobi_b1", topk=256, solver="jacobi")
-    run_config("topk256_svd_b1", topk=256, solver="linalg")
-    run_config("dense_jacobi_windowed_b1", topk=None, solver="jacobi",
-               windowed=True)
+def main(only=None):
+    def want(name):
+        return only is None or any(s in name for s in only)
+
+    jobs = [
+        ("topk128_jacobi_b1", lambda: run_config(
+            "topk128_jacobi_b1", topk=128, solver="jacobi")),
+        ("topk256_jacobi_b1", lambda: run_config(
+            "topk256_jacobi_b1", topk=256, solver="jacobi")),
+        ("topk256_svd_b1", lambda: run_config(
+            "topk256_svd_b1", topk=256, solver="linalg")),
+        ("dense_jacobi_windowed_b1", lambda: run_config(
+            "dense_jacobi_windowed_b1", topk=None, solver="jacobi",
+            windowed=True)),
+        ("dense_jacobi_b1", lambda: run_config(
+            "dense_jacobi_b1", topk=None, solver="jacobi")),
+        ("topk256_jacobi_b2", lambda: run_config(
+            "topk256_jacobi_b2", batch_size=2, topk=256,
+            solver="jacobi")),
+        ("train_gtmatch_linalg_b1", lambda: run_train_config(
+            "train_gtmatch_linalg_b1", solver="linalg")),
+        # training-solver lever (VERDICT r2 item 4): svd costs ~23
+        # ms/layer fwd and more in the VJP; AP effect measured on the
+        # synthetic harness (tools/ap_ablation.py train_solver mode)
+        ("train_gtmatch_jacobi_b1", lambda: run_train_config(
+            "train_gtmatch_jacobi_b1", solver="jacobi")),
+        ("train_gtmatch_eigh_b1", lambda: run_train_config(
+            "train_gtmatch_eigh_b1", solver="eigh")),
+    ]
     # semantics-changing clamped-offset windows (AP cost measured by
     # tools/ap_ablation.py; PERF.md "clamped-offset windows")
     for clamp, impl in ((4.0, "xla"), (2.0, "xla"),
                         (4.0, "pallas"), (2.0, "pallas")):
-        run_config(f"topk128_jacobi_winclamp{int(clamp)}_{impl}_b1",
-                   topk=128, solver="jacobi", windowed=True,
-                   offset_clamp=clamp, window_impl=impl)
-    run_config("topk128_jacobi_clamp4_gather_b1", topk=128,
-               solver="jacobi", offset_clamp=4.0)
-    run_config("dense_jacobi_b1", topk=None, solver="jacobi")
-    run_config("topk256_jacobi_b2", batch_size=2, topk=256, solver="jacobi")
-    run_train_config("train_gtmatch_linalg_b1", solver="linalg")
-    # training-solver lever (VERDICT r2 item 4): svd costs ~23 ms/layer
-    # fwd and more in the VJP; AP effect measured on the synthetic
-    # harness (tools/ap_ablation.py train_solver mode)
-    run_train_config("train_gtmatch_jacobi_b1", solver="jacobi")
-    run_train_config("train_gtmatch_eigh_b1", solver="eigh")
+        name = f"topk128_jacobi_winclamp{int(clamp)}_{impl}_b1"
+        jobs.append((name, lambda n=name, c=clamp, i=impl: run_config(
+            n, topk=128, solver="jacobi", windowed=True,
+            offset_clamp=c, window_impl=i)))
+    jobs.append(("topk128_jacobi_clamp4_gather_b1", lambda: run_config(
+        "topk128_jacobi_clamp4_gather_b1", topk=128, solver="jacobi",
+        offset_clamp=4.0)))
+
+    for name, fn in jobs:
+        if want(name):
+            fn()
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(only=sys.argv[1:] or None)
