@@ -56,7 +56,21 @@ def jacobi4_smallest(G: jnp.ndarray, sweeps: int = 6) -> jnp.ndarray:
     for _ in range(sweeps):
         for (p, q) in _JACOBI_PAIRS:
             app, aqq, apq = a[(p, p)], a[(q, q)], a[(p, q)]
-            small = jnp.abs(apq) <= 1e-30
+            # skip rotations on NEGLIGIBLE off-diagonals, judged relative
+            # to the diagonal (classical Jacobi convergence test). The
+            # old absolute 1e-30 guard admitted apq ~ 1e-20-class values
+            # whose rotation is a numerical no-op forward but whose VJP
+            # carries 1/apq^2 factors that overflow f32 into NaN — this
+            # poisoned every training gradient (measured 2026-08-17;
+            # grads finite with the relative guard, NaN without). The
+            # eigenvector change from skipping these rotations is
+            # <= ~1e-12 relative.
+            # the absolute 1e-15 floor bounds the division VJP's
+            # 1/apq^2 factor (< 1e30, finite in f32) even for grams far
+            # below unit scale; triangulate_dlt's column equilibration
+            # makes the relative term dominate in practice
+            small = jnp.abs(apq) <= (1e-12 * (jnp.abs(app) + jnp.abs(aqq))
+                                     + 1e-15)
             safe = jnp.where(small, 1.0, apq)
             tau = (aqq - app) / (2.0 * safe)
             t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
@@ -119,6 +133,22 @@ def triangulate_dlt(proj: jnp.ndarray, points2d: jnp.ndarray,
         (..., 3) triangulated points.
     """
     A = _dlt_system(proj, points2d, confidences).astype(jnp.float32)
+    # Degenerate-system guard: a query outside every view's bounds gets
+    # all-zero confidences -> A == 0 exactly -> the null-space direction
+    # is undefined and every solver's forward (w == 0 homogeneous
+    # divide) and VJP (svd/eigh eigenvalue ties) produce NaN. Downstream
+    # query masks hide the NaN in the FORWARD, but the jacobians of the
+    # ops between the mask and here still turn the masked-out cotangent
+    # into NaN that reaches every parameter (this froze from-scratch
+    # training; measured 2026-08-17). Substitute a well-posed system
+    # with DISTINCT singular values (rows e0, e1/2, e2/4 -> unique null
+    # vector e3 -> the origin) directly at A: jnp.where's VJP is a
+    # select, so the dead branch's gradient is dropped exactly here, and
+    # non-degenerate systems see bit-identical math.
+    degen = jnp.max(jnp.abs(A), axis=(-2, -1), keepdims=True) < 1e-10
+    tmpl = jnp.zeros(A.shape[-2:], A.dtype)
+    tmpl = tmpl.at[0, 0].set(1.0).at[1, 1].set(0.5).at[2, 2].set(0.25)
+    A = jnp.where(degen, tmpl, A)
     if solver == "svd":
         _, _, vh = jnp.linalg.svd(A, full_matrices=False)
         v = -vh[..., 3, :]  # matches multiview.py:220 sign convention
