@@ -61,15 +61,29 @@ def train(*overrides, out_dir=None):
     print(f"trained in {(time.time()-t0)/60:.1f} min")
 
 
-def train_solver():
+def train_solver(solvers=("linalg", "eigh")):
     """VERDICT r2 item 4: the training-solver comparison. The main `train`
-    mode uses jacobi (linalg NaN'd — see configs/synthetic_ap_ablation.yaml);
-    this trains the alternatives so PERF.md can table the training-AP
-    effect of the solver choice."""
-    for solver in ("eigh", "linalg"):
+    mode uses jacobi (fastest stable solver; see
+    configs/synthetic_ap_ablation.yaml); this trains the alternatives via
+    the device-resident fast trainer so PERF.md can table the
+    training-AP effect of the solver choice."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":/root/.axon_site:" + env.get(
+        "PYTHONPATH", "")
+    for solver in solvers:
         out_dir = os.path.join(OUT, f"train_{solver}")
         os.makedirs(out_dir, exist_ok=True)
-        train(f"DECODER.triangulation_method={solver}", out_dir=out_dir)
+        cmd = [sys.executable, os.path.join(REPO, "tools",
+                                            "ap_train_fast.py"),
+               "--out", out_dir,
+               f"DECODER.triangulation_method={solver}"]
+        print("+", " ".join(cmd), flush=True)
+        res = subprocess.run(cmd, capture_output=True, text=True,
+                             cwd=REPO, timeout=14400, env=env)
+        print(res.stdout[-2000:])
+        if res.returncode != 0:
+            print(res.stderr[-3000:])
+            continue
         ckpt = find_checkpoint(out_dir)
         eval_config(f"trained_{solver}_eval_{solver}_k128",
                     [f"DECODER.triangulation_method={solver}",
