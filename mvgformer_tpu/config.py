@@ -184,6 +184,12 @@ class DecoderConfig:
     # tools/ap_ablation.py before this may back a headline number.
     # None = off (reference semantics).
     layer1_offset_clamp: Optional[float] = None
+    # clip next-layer reference points into the capture-space box (+50%
+    # slack): from-scratch stabilizer — early near-parallel-ray
+    # triangulations otherwise run away and each layer amplifies the
+    # last. Layer outputs / losses keep raw predictions. Default off
+    # (reference behavior).
+    clamp_refs_to_space: bool = False
 
 
 @dataclass

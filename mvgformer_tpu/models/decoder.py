@@ -406,6 +406,14 @@ class DQDecoder(nn.Module):
     share_layer_weights: bool = False
     num_joints: int = 15
     layer_kwargs: dict = None
+    # optional (x_lo, y_lo, z_lo, x_hi, y_hi, z_hi) mm box: next-layer
+    # reference points are clipped into it (DECODER.clamp_refs_to_space).
+    # Stabilizer for from-scratch training: early near-parallel-ray
+    # triangulations otherwise fly to ~1e6 mm and each layer amplifies
+    # the previous one's runaway. Layer OUTPUTS (and thus the loss) keep
+    # the raw predictions, so the learning signal is unchanged; only the
+    # iterative-refinement input is bounded. None = reference behavior.
+    ref_clamp_box: tuple = None
     # rematerialize each layer in the training backward pass — the
     # flagship train step otherwise exceeds v5e HBM (PERF.md "training
     # memory"); inference is unaffected
@@ -429,6 +437,10 @@ class DQDecoder(nn.Module):
         Q = tgt.shape[1] // J
         outputs = []
         refs = reference_points
+        box = self.ref_clamp_box
+        if box is not None:
+            lo = jnp.asarray(box[:3], jnp.float32)
+            hi = jnp.asarray(box[3:], jnp.float32)
         out = tgt
         qpos = query_pos
         qmask = query_mask
@@ -479,6 +491,11 @@ class DQDecoder(nn.Module):
                     "projs_2d": _scatter_queries(projs2d, sel, Q, J, 2),
                     "class_prob": _scatter_queries(class_prob, sel, Q, 1, 1),
                 })
+
+            if box is not None:
+                # bound only the NEXT layer's input; outputs above keep
+                # the raw predictions (see ref_clamp_box)
+                refs = jnp.clip(refs, lo, hi)
 
             use_topk = (topk_queries is not None and not train
                         and sel is None and lid == 0

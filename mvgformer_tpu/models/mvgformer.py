@@ -130,10 +130,18 @@ class MVGFormer(nn.Module):
             "instance_embedding", emb_init,
             (dec.num_instance, dec.d_model * 2))
 
+        ref_clamp_box = None
+        if dec.clamp_refs_to_space:
+            # capture-space box with 50% slack on the half-extent
+            c = self.cfg.MULTI_PERSON.SPACE_CENTER
+            s = self.cfg.MULTI_PERSON.SPACE_SIZE
+            ref_clamp_box = tuple(c[i] - 0.75 * s[i] for i in range(3)) \
+                + tuple(c[i] + 0.75 * s[i] for i in range(3))
         self.decoder = DQDecoder(
             num_layers=dec.num_decoder_layers,
             share_layer_weights=dec.share_layer_weights,
             num_joints=dec.num_keypoints,
+            ref_clamp_box=ref_clamp_box,
             remat=self.cfg.PARALLEL.REMAT_DECODER,
             remat_policy=self.cfg.PARALLEL.REMAT_POLICY,
             layer_kwargs=dict(

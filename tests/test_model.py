@@ -304,3 +304,28 @@ def test_hungarian_match_in_traced_step():
             assert got[g] == q
         assert np.asarray(match.gt_valid)[b, :n].all()
         assert not np.asarray(match.gt_valid)[b, n:].any()
+
+
+def test_clamp_refs_to_space_bounds_next_layer_only():
+    """DECODER.clamp_refs_to_space clips the refs fed to the NEXT layer
+    (from-scratch stabilizer) while every layer's own raw output is
+    untouched — so layer 0's outputs match the unclamped model exactly
+    and later layers may diverge."""
+    # a tiny space box so random-init layer-1 triangulations land
+    # outside it and the clamp actually binds
+    space = {"MULTI_PERSON.SPACE_SIZE": [800.0, 800.0, 800.0]}
+    cfg = small_cfg(**space)
+    model = MVGFormer(cfg=cfg)
+    batch = make_batch(cfg, batch_size=1, seed=3, num_people=2)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    cfg_c = small_cfg(**{"DECODER.clamp_refs_to_space": True, **space})
+    model_c = MVGFormer(cfg=cfg_c)
+    ref = model.apply(variables, batch, threshold=0.3)
+    got = model_c.apply(variables, batch, threshold=0.3)
+    np.testing.assert_array_equal(np.asarray(got[0]["pred_poses"]),
+                                  np.asarray(ref[0]["pred_poses"]))
+    # the clamp box must actually bound the refs the next layer consumed:
+    # outputs themselves stay raw, so just assert the knob is live
+    assert not np.array_equal(np.asarray(got[-1]["pred_poses"]),
+                              np.asarray(ref[-1]["pred_poses"]))
