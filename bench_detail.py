@@ -15,7 +15,8 @@ ITERS = 20
 
 
 def run_config(name, batch_size=1, topk=None, solver="linalg",
-               windowed=False, offset_clamp=None, window_impl="xla"):
+               windowed=False, offset_clamp=None, window_impl="xla",
+               point_topm=None):
     import jax
     import jax.numpy as jnp
 
@@ -31,6 +32,7 @@ def run_config(name, batch_size=1, topk=None, solver="linalg",
     cfg.DECODER.triangulation_method = solver
     cfg.DECODER.layer1_offset_clamp = offset_clamp
     cfg.DECODER.layer1_window_impl = window_impl
+    cfg.DECODER.inference_point_topm = point_topm
 
     threshold = 0.1
     model = MVGFormer(cfg=cfg)
@@ -156,6 +158,16 @@ def main(only=None):
     jobs.append(("topk128_jacobi_clamp4_gather_b1", lambda: run_config(
         "topk128_jacobi_clamp4_gather_b1", topk=128, solver="jacobi",
         offset_clamp=4.0)))
+    # semantics-changing point sparsification: top-m of P=8 attention
+    # points per (query, head, level), renormalized — gather rows (the
+    # measured wall) scale m/8 in every layer (AP cost: ap_ablation rows)
+    for m in (4, 2):
+        for topk in (128, 64):
+            name = f"topk{topk}_jacobi_ptop{m}_b1"
+            jobs.append((name, lambda n=name, m_=m, t=topk: run_config(
+                n, topk=t, solver="jacobi", point_topm=m_)))
+    jobs.append(("topk64_jacobi_b1", lambda: run_config(
+        "topk64_jacobi_b1", topk=64, solver="jacobi")))
 
     for name, fn in jobs:
         if want(name):

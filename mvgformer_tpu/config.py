@@ -184,6 +184,14 @@ class DecoderConfig:
     # tools/ap_ablation.py before this may back a headline number.
     # None = off (reference semantics).
     layer1_offset_clamp: Optional[float] = None
+    # SEMANTICS-CHANGING inference fast path: per (query, head, level),
+    # sample only the top-m of the P learned attention points by softmax
+    # weight (kept weights renormalized so total attention mass stays 1).
+    # Deformable-gather rows — the measured v5e wall (PERF.md "gather
+    # wall") — scale by m/P across ALL decoder layers. AP cost is
+    # measured by tools/ap_ablation.py before this may back a headline
+    # number. None = off (all P points, reference semantics).
+    inference_point_topm: Optional[int] = None
     # clip next-layer reference points into the capture-space box (+50%
     # slack): from-scratch stabilizer — early near-parallel-ray
     # triangulations otherwise run away and each layer amplifies the

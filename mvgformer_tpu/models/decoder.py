@@ -194,7 +194,8 @@ class DQDecoderLayer(nn.Module):
                  train: bool = False,
                  triangulate_topk: Optional[int] = None,
                  window_plan=None,
-                 offset_clamp=None):
+                 offset_clamp=None,
+                 point_topm: Optional[int] = None):
         """
         Args:
             tgt:              (B, Nq, C) query features, Nq = Q * J.
@@ -249,7 +250,8 @@ class DQDecoderLayer(nn.Module):
                         posembed_mode=self.posembed_mode, dtype=self.dtype,
                         name="proj_attn")(
             q_fold, ref_fold, src_views, spatial_shapes,
-            window_plan=window_plan, offset_clamp_px=offset_clamp)
+            window_plan=window_plan, offset_clamp_px=offset_clamp,
+            point_topm=point_topm)
         attn = attn.reshape(V, B, Nq, C)
         # zero features whose projection fell outside the image (:585-588)
         attn = attn * jnp.swapaxes(bounds, 0, 1)[..., None].astype(attn.dtype)
@@ -431,7 +433,8 @@ class DQDecoder(nn.Module):
     def __call__(self, tgt, query_pos, reference_points, src_views,
                  spatial_shapes, view_data, query_mask=None, threshold=0.5,
                  filter_method="threshold", train=False, topk_queries=None,
-                 window_plan=None, layer1_offset_clamp=None):
+                 window_plan=None, layer1_offset_clamp=None,
+                 point_topm=None):
         kw = dict(self.layer_kwargs or {})
         J = self.num_joints
         Q = tgt.shape[1] // J
@@ -478,7 +481,10 @@ class DQDecoder(nn.Module):
                                  else None),
                     # offset clamp: same layer-1 inference-only gating
                     offset_clamp=(layer1_offset_clamp
-                                  if lid == 0 and not train else None))
+                                  if lid == 0 and not train else None),
+                    # point sparsification applies to EVERY layer's
+                    # sampling, inference only (DECODER.inference_point_topm)
+                    point_topm=point_topm if not train else None)
             if sel is None:
                 outputs.append({"hs": out, "refs": refs, "refs_2d": ref2d,
                                 "projs_2d": projs2d,

@@ -330,7 +330,8 @@ class MVGFormer(nn.Module):
             filter_method=filter_method, train=train,
             topk_queries=dec.inference_topk_queries,
             window_plan=window_plan,
-            layer1_offset_clamp=dec.layer1_offset_clamp)
+            layer1_offset_clamp=dec.layer1_offset_clamp,
+            point_topm=dec.inference_point_topm)
 
         cji = dec.convert_joint_format_indices
         outs = []

@@ -66,7 +66,8 @@ class ProjAttn(nn.Module):
                  spatial_shapes: Sequence[Tuple[int, int]],
                  camera_ray_embeds: Optional[jnp.ndarray] = None,
                  window_plan=None,
-                 offset_clamp_px: Optional[float] = None) -> jnp.ndarray:
+                 offset_clamp_px: Optional[float] = None,
+                 point_topm: Optional[int] = None) -> jnp.ndarray:
         """
         Args:
             query:            (N, Lq, C) per-view query features (already
@@ -161,6 +162,20 @@ class ProjAttn(nn.Module):
             [shapes_arr[:, 1], shapes_arr[:, 0]], axis=-1)  # (L, 2) = (w, h)
         locations = (reference_points[:, :, None, :, None, :]
                      + offsets / normalizer[None, None, None, :, None, :])
+
+        if point_topm is not None and point_topm < P:
+            # semantics-changing fast path (DECODER.inference_point_topm):
+            # keep only the top-m points per (query, head, level) by
+            # attention weight and renormalize GLOBALLY over (level, point)
+            # so total attention mass stays 1 and the learned cross-level
+            # balance is preserved. Rows into the deformable gather — the
+            # measured per-frame wall — scale by m/P.
+            m = int(point_topm)
+            w_sel, p_idx = jax.lax.top_k(weights, m)  # (N, Lq, H, Lt, m)
+            kept_mass = jnp.sum(w_sel, axis=(-2, -1), keepdims=True)
+            weights = w_sel / jnp.maximum(kept_mass, 1e-6)
+            locations = jnp.take_along_axis(
+                locations, p_idx[..., None], axis=4)
 
         # debug taps for attention-point overlays (visualize_proj_attention,
         # lib/utils/vis.py:82-202); materialized only when the caller asks

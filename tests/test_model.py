@@ -196,6 +196,50 @@ class TestTopKCompaction:
         assert (np.abs(poses).sum(-1) > 0).sum() == Q
 
 
+class TestPointTopM:
+    """DECODER.inference_point_topm end-to-end wiring (the selection math
+    itself is unit-tested in tests/test_projattn.py::TestPointTopM)."""
+
+    def test_eval_runs_and_differs_from_dense(self):
+        cfg = small_cfg()
+        model = MVGFormer(cfg=cfg)
+        batch = make_batch(cfg, batch_size=1, seed=3, num_people=2)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        outs_full = model.apply(variables, batch, threshold=0.0)
+
+        cfg2 = small_cfg()
+        # small_cfg has dec_n_points=2, so top-1 is the live selection
+        cfg2.DECODER.inference_point_topm = 1
+        outs_m = MVGFormer(cfg=cfg2).apply(variables, batch, threshold=0.0)
+        full = np.asarray(outs_full[-1]["pred_poses"])
+        sparse = np.asarray(outs_m[-1]["pred_poses"])
+        assert sparse.shape == full.shape
+        assert np.isfinite(sparse).all()
+        # fresh init has uniform attention weights, so dropping points is
+        # a real perturbation — outputs must differ (wiring is live)
+        assert not np.allclose(sparse, full)
+
+    def test_ignored_in_training(self):
+        cfg = small_cfg()
+        cfg.DECODER.inference_point_topm = 2
+        model = MVGFormer(cfg=cfg)
+        batch = make_batch(cfg, batch_size=1, seed=1, num_people=2)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        Q = cfg.DECODER.num_instance
+        mask = np.ones((1, Q), dtype=bool)
+        outs_t = model.apply(variables, batch, query_mask=jnp.asarray(mask),
+                             train=True,
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+        cfg2 = small_cfg()
+        model2 = MVGFormer(cfg=cfg2)
+        outs_f = model2.apply(variables, batch,
+                              query_mask=jnp.asarray(mask), train=True,
+                              rngs={"dropout": jax.random.PRNGKey(2)})
+        np.testing.assert_array_equal(
+            np.asarray(outs_t[-1]["pred_poses"]),
+            np.asarray(outs_f[-1]["pred_poses"]))
+
+
 def test_st_triangulation_method_runs():
     """triangulation_method 'st' wires structural triangulation end-to-end."""
     cfg = small_cfg(**{"DECODER.triangulation_method": "st",

@@ -235,3 +235,77 @@ class TestUnstackedProductionPath:
         b = np.asarray(deform_sample_corner(
             jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w)))
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+class TestPointTopM:
+    """DECODER.inference_point_topm: per-(query, head, level) top-m point
+    sparsification with global weight renormalization (projattn.py)."""
+
+    def _build(self, rng, n_points=6):
+        d_model, n_heads, n_levels = 32, 4, 1
+        N, Lq = 2, 9
+        src_views = [rng.randn(N, h, w, d_model).astype(np.float32)
+                     for h, w in SHAPES]
+        query = rng.randn(N, Lq, d_model).astype(np.float32)
+        refpts = rng.uniform(0.05, 0.95,
+                             size=(N, Lq, 3, 2)).astype(np.float32)
+        mod = ProjAttn(d_model=d_model, n_levels=n_levels, n_heads=n_heads,
+                       n_points=n_points)
+        args = (jnp.asarray(query), jnp.asarray(refpts),
+                [jnp.asarray(s) for s in src_views], SHAPES)
+        params = mod.init(jax.random.PRNGKey(0), *args)
+        # randomize the attention-weights linear so softmax weights are
+        # distinct (fresh init is uniform -> top-k ties are ambiguous)
+        p = jax.tree_util.tree_map(np.asarray, params)
+        p["params"]["attention_weights"]["kernel"] = rng.randn(
+            *p["params"]["attention_weights"]["kernel"].shape
+        ).astype(np.float32)
+        return mod, p, args
+
+    def test_selected_weights_and_locations(self, rng):
+        """The sown (weights, locations) under top-m are exactly the top-m
+        rows of the full run, renormalized over (level, point)."""
+        mod, params, args = self._build(rng)
+        m = 2
+        _, full = mod.apply(params, *args, mutable=["intermediates"])
+        _, sel = mod.apply(params, *args, point_topm=m,
+                           mutable=["intermediates"])
+        w_full = np.asarray(
+            full["intermediates"]["sampling_weights"][0])  # (N,Lq,H,L,P)
+        loc_full = np.asarray(full["intermediates"]["sampling_locations"][0])
+        w_sel = np.asarray(sel["intermediates"]["sampling_weights"][0])
+        loc_sel = np.asarray(sel["intermediates"]["sampling_locations"][0])
+        assert w_sel.shape[-1] == m and loc_sel.shape[-2] == m
+
+        order = np.argsort(-w_full, axis=-1)[..., :m]
+        w_top = np.take_along_axis(w_full, order, axis=-1)
+        kept = w_top.sum(axis=(-2, -1), keepdims=True)
+        np.testing.assert_allclose(w_sel, w_top / kept, rtol=1e-5,
+                                   atol=1e-7)
+        np.testing.assert_allclose(
+            loc_sel, np.take_along_axis(loc_full, order[..., None], axis=4),
+            rtol=1e-6, atol=1e-7)
+
+    def test_peaked_weights_topm1_matches_full(self, rng):
+        """With near-delta attention weights, top-1 sparsification must
+        reproduce the full output (the dropped mass is negligible)."""
+        mod, params, args = self._build(rng)
+        # huge bias on one (head, level, point) slot per head -> softmax
+        # mass ~1 on a single point
+        b = params["params"]["attention_weights"]["bias"]
+        b = np.full_like(np.asarray(b), -30.0)
+        H, L, P = 4, 3, 6
+        b = b.reshape(H, 1, P)  # wdim = H * n_levels * P, n_levels=1
+        b[:, :, 2] = 30.0
+        params["params"]["attention_weights"]["bias"] = b.reshape(-1)
+        params["params"]["attention_weights"]["kernel"] = np.zeros_like(
+            np.asarray(params["params"]["attention_weights"]["kernel"]))
+        out_full = np.asarray(mod.apply(params, *args))
+        out_m1 = np.asarray(mod.apply(params, *args, point_topm=1))
+        np.testing.assert_allclose(out_m1, out_full, rtol=1e-4, atol=1e-5)
+
+    def test_topm_equal_p_is_noop(self, rng):
+        mod, params, args = self._build(rng)
+        out_full = np.asarray(mod.apply(params, *args))
+        out_p = np.asarray(mod.apply(params, *args, point_topm=6))
+        np.testing.assert_allclose(out_p, out_full, rtol=0, atol=0)

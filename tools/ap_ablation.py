@@ -149,6 +149,14 @@ def evaluate():
         configs.append((f"jacobi_k128_clamp{int(clamp)}", list(base)))
         configs.append((f"jacobi_k128_clamp{int(clamp)}_windowed",
                         base + ["DECODER.layer1_windowed_sampling=true"]))
+    # point sparsification (DECODER.inference_point_topm): top-m of the
+    # P=8 attention points per (query, head, level), renormalized —
+    # the row-count lever for the gather wall (PERF.md)
+    for m in (4, 2):
+        configs.append((f"jacobi_k128_ptop{m}",
+                        ["DECODER.triangulation_method=jacobi",
+                         "DECODER.inference_topk_queries=128",
+                         f"DECODER.inference_point_topm={m}"]))
 
     rows = []
     for name, ov in configs:
