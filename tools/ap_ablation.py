@@ -61,12 +61,15 @@ def train(*overrides, out_dir=None):
     print(f"trained in {(time.time()-t0)/60:.1f} min")
 
 
-def train_solver(solvers=("linalg", "eigh")):
+def train_solver(solvers=("eigh",)):
     """VERDICT r2 item 4: the training-solver comparison. The main `train`
     mode uses jacobi (fastest stable solver; see
     configs/synthetic_ap_ablation.yaml); this trains the alternatives via
     the device-resident fast trainer so PERF.md can table the
-    training-AP effect of the solver choice."""
+    training-AP effect of the solver choice. Default compares eigh only:
+    svd (linalg) cannot train this from-scratch recipe — its VJP NaNs in
+    epoch 0 on degenerate random-init triangulations (yaml notes), so a
+    linalg run would only measure SKIP_NONFINITE dropping steps."""
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + ":/root/.axon_site:" + env.get(
         "PYTHONPATH", "")
@@ -132,32 +135,42 @@ def evaluate():
             if topk is not None:
                 ov.append(f"DECODER.inference_topk_queries={topk}")
             configs.append((name, ov))
-    for topk in (None, 128):
-        name = f"jacobi_{'dense' if topk is None else f'k{topk}'}_windowed"
-        ov = ["DECODER.triangulation_method=jacobi",
-              "DECODER.layer1_windowed_sampling=true"]
-        if topk is not None:
-            ov.append(f"DECODER.inference_topk_queries={topk}")
-        configs.append((name, ov))
+    # point sparsification (DECODER.inference_point_topm): top-m of the
+    # P=8 attention points per (query, head, level), renormalized —
+    # the row-count lever for the gather wall (PERF.md). Evaluated
+    # early (decision-relevant: candidate headline configs), including
+    # the k64 combos bench_detail times.
+    for topk in (128, 64):
+        for m in (4, 2):
+            configs.append((f"jacobi_k{topk}_ptop{m}",
+                            ["DECODER.triangulation_method=jacobi",
+                             f"DECODER.inference_topk_queries={topk}",
+                             f"DECODER.inference_point_topm={m}"]))
     # clamped layer-1 offsets (DECODER.layer1_offset_clamp): the
-    # semantics-changing window-shrinking lever; measure the clamp's AP
-    # cost alone (gather) and with the small-halo window it enables
+    # semantics-changing window-shrinking lever; the clamp's AP cost is
+    # the gather rows below. Windowed rows are intentionally absent:
+    # window_sample is exactness-tested against the gather at equal
+    # semantics (tests/test_window_sampling.py), so windowed AP ==
+    # clamp-gather AP by construction and each row would only re-spend
+    # a ~8 min eval compile. Pass --windowed to add them back.
     for clamp in (4.0, 2.0):
         base = ["DECODER.triangulation_method=jacobi",
                 "DECODER.inference_topk_queries=128",
                 f"DECODER.layer1_offset_clamp={clamp}"]
         configs.append((f"jacobi_k128_clamp{int(clamp)}", list(base)))
-        configs.append((f"jacobi_k128_clamp{int(clamp)}_windowed",
-                        base + ["DECODER.layer1_windowed_sampling=true"]))
-    # point sparsification (DECODER.inference_point_topm): top-m of the
-    # P=8 attention points per (query, head, level), renormalized —
-    # the row-count lever for the gather wall (PERF.md)
-    for m in (4, 2):
-        configs.append((f"jacobi_k128_ptop{m}",
-                        ["DECODER.triangulation_method=jacobi",
-                         "DECODER.inference_topk_queries=128",
-                         f"DECODER.inference_point_topm={m}"]))
-
+        if "--windowed" in sys.argv:
+            configs.append((f"jacobi_k128_clamp{int(clamp)}_windowed",
+                            base + ["DECODER.layer1_windowed_sampling"
+                                    "=true"]))
+    if "--windowed" in sys.argv:
+        for topk in (None, 128):
+            name = (f"jacobi_{'dense' if topk is None else f'k{topk}'}"
+                    "_windowed")
+            ov = ["DECODER.triangulation_method=jacobi",
+                  "DECODER.layer1_windowed_sampling=true"]
+            if topk is not None:
+                ov.append(f"DECODER.inference_topk_queries={topk}")
+            configs.append((name, ov))
     rows = []
     for name, ov in configs:
         # unique pred-file name per config so the cache can't cross-talk
