@@ -170,6 +170,162 @@ def save_attention_points(path: str, image, locations, weights,
     plt.close(fig)
 
 
+def save_debug_3d_images(cfg, batch, preds, prefix: str,
+                         show_id: bool = False):
+    """Per-sample 3D subplot grid: gt skeletons (red, dashed where either
+    endpoint is invisible) + predicted skeletons (cycled colors), saved to
+    <dir(prefix)>/3d_joints/<base(prefix)>_3d.png. Rebuild of
+    save_debug_3d_images (/root/reference/lib/utils/vis.py:683-756) over
+    this framework's Batch pytree (preds: (B, N, J, >=4) with col 3 the
+    kept-score, or (B, N, J, 3) = all kept, matching the reference's
+    shape-3 branch)."""
+    import math
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dirname = os.path.join(os.path.dirname(prefix), "3d_joints")
+    os.makedirs(dirname, exist_ok=True)
+    file_name = os.path.join(
+        dirname, os.path.basename(prefix) + "_3d.png")
+
+    tgt = batch.targets
+    batch_size = int(np.asarray(tgt.num_person).shape[0])
+    xplot = min(4, batch_size)
+    yplot = int(math.ceil(float(batch_size) / xplot))
+    fig = plt.figure(figsize=(4.0 * xplot, 4.0 * yplot))
+    plt.subplots_adjust(left=0.05, right=0.95, bottom=0.05, top=0.95,
+                        wspace=0.05, hspace=0.15)
+    colors = ["b", "g", "c", "y", "m", "orange",
+              "pink", "royalblue", "lightgreen", "gold"]
+    for i in range(batch_size):
+        ax = fig.add_subplot(yplot, xplot, i + 1, projection="3d")
+        num_person = int(np.asarray(tgt.num_person)[i])
+        joints_3d = np.asarray(tgt.joints_3d)[i]
+        joints_vis = np.asarray(tgt.joints_3d_vis)[i]
+        for n in range(num_person):
+            joint, vis = joints_3d[n], joints_vis[n]
+            for a, b in LIMBS15:
+                seg = np.stack([joint[a], joint[b]], axis=1)
+                solid = vis[a] > 0 and vis[b] > 0
+                ax.plot(*seg, c="r", ls="-" if solid else "--", lw=1.5,
+                        marker="o", markerfacecolor="w", markersize=2,
+                        markeredgewidth=1)
+            if show_id:
+                for j, p in enumerate(joint):
+                    ax.text(p[0], p[1], p[2], str(j), color="red")
+        if preds is not None:
+            pred = np.asarray(preds[i])
+            for n in range(len(pred)):
+                joint = pred[n]
+                if joint.shape[-1] == 3 or joint[0, 3] >= 0:
+                    for a, b in LIMBS15:
+                        seg = np.stack([joint[a, :3], joint[b, :3]],
+                                       axis=1)
+                        ax.plot(*seg, c=colors[n % 10], lw=1.5,
+                                marker="o", markerfacecolor="w",
+                                markersize=2, markeredgewidth=1)
+    fig.savefig(file_name)
+    plt.close(fig)
+    return file_name
+
+
+def save_debug_3d_cubes(cfg, batch, roots, prefix: str):
+    """Scatter of gt roots (red) vs predicted roots (blue) bounded to the
+    MULTI_PERSON capture space, saved to <dir>/root_cubes/<base>_root.png.
+    Rebuild of save_debug_3d_cubes (vis.py:757-811); unlike the reference
+    it does not gate on DEBUG.DEBUG — callers gate. roots: (B, N, >=4),
+    col 3 >= 0 marks a kept detection."""
+    import math
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dirname = os.path.join(os.path.dirname(prefix), "root_cubes")
+    os.makedirs(dirname, exist_ok=True)
+    file_name = os.path.join(
+        dirname, os.path.basename(prefix) + "_root.png")
+
+    tgt = batch.targets
+    roots = np.asarray(roots)
+    batch_size = roots.shape[0]
+    xplot = min(4, batch_size)
+    yplot = int(math.ceil(float(batch_size) / xplot))
+    fig = plt.figure(figsize=(4.0 * xplot, 4.0 * yplot))
+    plt.subplots_adjust(left=0.05, right=0.95, bottom=0.05, top=0.95,
+                        wspace=0.05, hspace=0.15)
+    space_size = cfg.MULTI_PERSON.SPACE_SIZE
+    space_center = cfg.MULTI_PERSON.SPACE_CENTER
+    for i in range(batch_size):
+        ax = fig.add_subplot(yplot, xplot, i + 1, projection="3d")
+        n = int(np.asarray(tgt.num_person)[i])
+        gt = np.asarray(tgt.roots_3d)[i][:n]
+        ax.scatter(gt[:, 0], gt[:, 1], gt[:, 2], c="r")
+        kept = roots[i][roots[i][:, 3] >= 0]
+        ax.scatter(kept[:, 0], kept[:, 1], kept[:, 2], c="b")
+        ax.set_xlim(space_center[0] - space_size[0] / 2,
+                    space_center[0] + space_size[0] / 2)
+        ax.set_ylim(space_center[1] - space_size[1] / 2,
+                    space_center[1] + space_size[1] / 2)
+        ax.set_zlim(space_center[2] - space_size[2] / 2,
+                    space_center[2] + space_size[2] / 2)
+    fig.savefig(file_name)
+    plt.close(fig)
+    return file_name
+
+
+def save_debug_epipolar_dump(batch, prefix: str, batch_index: int = 0,
+                             extras: Optional[dict] = None):
+    """Offline-analysis pickle of one frame's per-view images + gt 2D
+    joints/visibility, <dir>/epipolar/<base>_epipolar.pkl. Rebuild of
+    save_debug_epipolar (vis.py:812-837); the reference pickles the raw
+    per-view tensors for notebook analysis rather than plotting. The gt
+    2D joints are the camera projections of targets.joints_3d mapped
+    through the per-view full->net affine (the reference stores the
+    dataset's precomputed equivalents); `extras` lands in the pickle
+    verbatim (the reference's epipolar_line_* branch reads keys from the
+    wrong dict and is dead — covered by passing sown intermediates here
+    instead)."""
+    import pickle
+
+    from mvgformer_tpu.geometry.cameras import project_points
+
+    dirname = os.path.join(os.path.dirname(prefix), "epipolar")
+    os.makedirs(dirname, exist_ok=True)
+    file_name = os.path.join(
+        dirname, os.path.basename(prefix) + "_epipolar.pkl")
+
+    b = batch_index
+    tgt = batch.targets
+    n = int(np.asarray(tgt.num_person)[b])
+    joints_3d = np.asarray(tgt.joints_3d)[b][:n]         # (n, J, 3)
+    views = np.asarray(batch.views[b])                   # (V, H, W, 3)
+    V = views.shape[0]
+    outputs: dict = {}
+    import jax.tree_util as jtu
+
+    cams_b = jtu.tree_map(lambda x: np.asarray(x)[b], batch.view_data.cameras)
+    affine = np.asarray(batch.view_data.affine)[b]       # (V, 2, 3)
+    vis2d = np.asarray(batch.view_data.joints_vis_2d)[b]  # (V, M, J)
+    for v in range(V):
+        cam_v = jtu.tree_map(lambda x: x[v], cams_b)
+        full_px = np.asarray(project_points(
+            joints_3d.reshape(-1, 3), cam_v)).reshape(n, -1, 2)
+        net_px = full_px @ affine[v][:, :2].T + affine[v][:, 2]
+        outputs[f"view{v}_img"] = views[v]
+        outputs[f"view{v}_joints_2d"] = net_px
+        outputs[f"view{v}_joints_vis"] = vis2d[v][:n]
+    if extras:
+        outputs.update({k: np.asarray(val) for k, val in extras.items()})
+    with open(file_name, "wb") as handle:
+        pickle.dump(outputs, handle, protocol=pickle.HIGHEST_PROTOCOL)
+    return file_name
+
+
 def visualize_frame(out_dir: str, frame_id: int, batch, pred,
                     layer_outputs=None, batch_index: int = 0,
                     intermediates=None):

@@ -1,5 +1,7 @@
 """Evaluation metric tests: NMS parity, AP/MPJPE/PCP behavior."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -354,3 +356,47 @@ def test_threshold_match_ignores_padding_and_weights_real_pairs():
     assert set(qi[1][pv[1]]) == {2}
     qm = np.asarray(m.query_mask)[0]
     assert list(np.nonzero(qm)[0]) == [0, 1, 2]
+
+
+def test_debug_savers_3d_cubes_epipolar(tmp_path):
+    """The reference's exotic debug savers (vis.py:683-837): per-sample
+    3D pred-vs-gt grids, root-cube scatters, and the epipolar offline
+    pickle, rebuilt over the Batch pytree."""
+    import pickle
+
+    from mvgformer_tpu.data.synthetic import make_batch, make_people
+    from mvgformer_tpu.utils.visualization import (
+        save_debug_3d_cubes, save_debug_3d_images,
+        save_debug_epipolar_dump)
+    from test_model import small_cfg
+
+    cfg = small_cfg()
+    batch = make_batch(cfg, batch_size=2, seed=0, num_people=2,
+                       render=True)
+    people = make_people(2, seed=0)
+    preds = np.zeros((2, 4, 15, 5), np.float32)
+    preds[:, 2:, :, 3] = -1.0
+    preds[:, :2, :, :3] = people
+    prefix = str(tmp_path / "val" / "frame0")
+    f1 = save_debug_3d_images(cfg, batch, preds, prefix, show_id=True)
+    roots = preds[:, :, 0, :4]
+    f2 = save_debug_3d_cubes(cfg, batch, roots, prefix)
+    f3 = save_debug_epipolar_dump(batch, prefix,
+                                  extras={"note": np.arange(3)})
+    assert f1.endswith("3d_joints/frame0_3d.png") and os.path.exists(f1)
+    assert f2.endswith("root_cubes/frame0_root.png") and os.path.exists(f2)
+    with open(f3, "rb") as fh:
+        dump = pickle.load(fh)
+    V = batch.views.shape[1]
+    n = int(np.asarray(batch.targets.num_person)[0])
+    assert dump["view0_img"].shape == tuple(batch.views.shape[2:])
+    assert dump["view0_joints_2d"].shape == (n, 15, 2)
+    assert dump["view0_joints_vis"].shape[0] == n
+    assert {f"view{v}_img" for v in range(V)} <= set(dump)
+    assert dump["note"].tolist() == [0, 1, 2]
+    # the projected gt 2D joints should be mostly inside the net image
+    w, h = cfg.NETWORK.IMAGE_SIZE
+    pts = dump["view0_joints_2d"].reshape(-1, 2)
+    frac_in = np.mean((pts[:, 0] >= 0) & (pts[:, 0] < w)
+                      & (pts[:, 1] >= 0) & (pts[:, 1] < h))
+    assert frac_in > 0.5, frac_in
