@@ -188,10 +188,31 @@ def main():
                                 variables["batch_stats"], batch)
                             dbg = (jax.device_get(outs),
                                    jax.device_get(inter))
+                        host_batch = jax.device_get(batch)
                         visualize_frame(
-                            vis_dir, frame_idx, jax.device_get(batch),
+                            vis_dir, frame_idx, host_batch,
                             pred[b], layer_outputs=dbg[0],
                             intermediates=dbg[1], batch_index=b)
+                        if cfg.DEBUG.DEBUG:
+                            # DEBUG.DEBUG additionally saves the
+                            # reference's exotic debug artifacts
+                            # (vis.py:683-837): the per-sample 3D grid,
+                            # root-cube scatter, and the epipolar
+                            # offline pickle
+                            from mvgformer_tpu.utils.visualization import (
+                                save_debug_3d_cubes, save_debug_3d_images,
+                                save_debug_epipolar_dump)
+
+                            prefix = os.path.join(
+                                vis_dir, f"frame{frame_idx}")
+                            save_debug_3d_images(
+                                cfg, host_batch, pred[:, :, :, :],
+                                prefix)
+                            save_debug_3d_cubes(
+                                cfg, host_batch, pred[:, :, 0, :4],
+                                prefix)
+                            save_debug_epipolar_dump(
+                                host_batch, prefix, batch_index=b)
             preds = [p for p in preds if p is not None]
             np.save(pred_path, np.stack(preds))
             logger.info("saved preds to %s", pred_path)
