@@ -209,7 +209,8 @@ def main():
                                 cfg, host_batch, pred[:, :, :, :],
                                 prefix)
                             save_debug_3d_cubes(
-                                cfg, host_batch, pred[:, :, 0, :4],
+                                cfg, host_batch,
+                                pred[:, :, cfg.DATASET.ROOTIDX, :4],
                                 prefix)
                             save_debug_epipolar_dump(
                                 host_batch, prefix, batch_index=b)
