@@ -206,8 +206,7 @@ def main():
                             prefix = os.path.join(
                                 vis_dir, f"frame{frame_idx}")
                             save_debug_3d_images(
-                                cfg, host_batch, pred[:, :, :, :],
-                                prefix)
+                                cfg, host_batch, pred, prefix)
                             save_debug_3d_cubes(
                                 cfg, host_batch,
                                 pred[:, :, cfg.DATASET.ROOTIDX, :4],
