@@ -231,6 +231,15 @@ class TrainConfig:
     # training where degenerate camera geometry can spike the
     # triangulation VJP; default off (reference has no equivalent)
     SKIP_NONFINITE: bool = False
+    # clip the per-point cotangent norm arriving at the triangulation's
+    # 2D inputs (geometry/triangulate.py clip_cotangent): from-scratch
+    # stabilizer — the DLT jacobian of an ill-conditioned system
+    # amplifies the (bounded) 3D L1 cotangent by orders of magnitude,
+    # and that noise swamps the well-behaved 2D-reprojection signal in
+    # the summed gradient Adam sees. Forward math is bit-identical;
+    # default off (the reference never trains from scratch, its
+    # pretrained backbone keeps triangulations well-conditioned)
+    TRI_GRAD_CLIP: Optional[float] = None
 
 
 @dataclass

@@ -100,6 +100,40 @@ def jacobi4_smallest(G: jnp.ndarray, sweeps: int = 6) -> jnp.ndarray:
     return jnp.take_along_axis(cols, idx[..., None, None], axis=-1)[..., 0]
 
 
+def clip_cotangent(x: jnp.ndarray, max_norm: float) -> jnp.ndarray:
+    """Identity whose VJP clips each last-axis vector's cotangent to
+    `max_norm` (rescaled, direction preserved).
+
+    Training stabilizer for gradients that arrive THROUGH an
+    ill-conditioned DLT solve: the solve's jacobian w.r.t. its 2D pixel
+    inputs amplifies the (bounded, L1) 3D-loss cotangent by the system's
+    condition number — on the near-degenerate triangulations that
+    random-init queries produce, orders of magnitude — so the summed
+    gradient on the offset net is dominated by solver noise rather than
+    the well-behaved 2D-reprojection term. Bounding the per-point norm
+    here restores that balance; systematic signal survives (consistent
+    directions accumulate in Adam's momentum), chaotic directions cancel.
+    Forward is bit-identical; no reference equivalent (the reference
+    never trains from scratch). Gated by TRAIN.TRI_GRAD_CLIP.
+    """
+    max_norm = float(max_norm)
+
+    @jax.custom_vjp
+    def _identity(v):
+        return v
+
+    def _fwd(v):
+        return v, None
+
+    def _bwd(_, g):
+        n = jnp.linalg.norm(g.astype(jnp.float32), axis=-1, keepdims=True)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(n, 1e-30))
+        return (g * scale.astype(g.dtype),)
+
+    _identity.defvjp(_fwd, _bwd)
+    return _identity(x)
+
+
 def homogeneous_to_euclidean(points: jnp.ndarray) -> jnp.ndarray:
     """(..., D+1) -> (..., D). multiview.py:homogeneous_to_euclidean."""
     return points[..., :-1] / points[..., -1:]

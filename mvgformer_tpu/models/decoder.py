@@ -46,7 +46,8 @@ from mvgformer_tpu.geometry.cameras import (
 )
 from mvgformer_tpu.geometry.transforms import apply_affine
 from mvgformer_tpu.geometry.structural import structural_triangulate
-from mvgformer_tpu.geometry.triangulate import triangulate_dlt
+from mvgformer_tpu.geometry.triangulate import (clip_cotangent,
+                                                triangulate_dlt)
 from mvgformer_tpu.models.mlp import MLP, OffsetNet
 from mvgformer_tpu.ops.projattn import ProjAttn
 
@@ -118,6 +119,10 @@ class DQDecoderLayer(nn.Module):
     st_n_steps: int = 1
     bayesian_update: bool = False
     pose_embed_layers: int = 3
+    # TRAIN.TRI_GRAD_CLIP: clip the cotangent norm arriving at the
+    # triangulation's 2D/confidence inputs (training only; see
+    # geometry/triangulate.py clip_cotangent)
+    tri_grad_clip: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
 
     def project_ref_points(self, reference_points: jnp.ndarray,
@@ -340,6 +345,14 @@ class DQDecoderLayer(nn.Module):
         else:
             pts = jnp.swapaxes(orig_undist, 1, 2)  # (B, Nqc, V, 2)
             conf_bqv = jnp.transpose(conf, (1, 2, 0))  # (B, Nqc, V)
+            if train and self.tri_grad_clip is not None:
+                # from-scratch stabilizer (TRAIN.TRI_GRAD_CLIP): bound the
+                # solver-amplified cotangents flowing back into the offset
+                # net / confidence head; forward bit-identical
+                c = float(self.tri_grad_clip)
+                pts = clip_cotangent(pts, c)
+                conf_bqv = clip_cotangent(
+                    conf_bqv[..., None], c)[..., 0]
             pm = jnp.broadcast_to(proj_mats[:, None], (B, Nqc, V, 3, 4))
             new_refs = triangulate_dlt(pm, pts, conf_bqv,
                                        solver=self.triangulation_solver)

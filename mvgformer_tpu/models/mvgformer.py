@@ -172,6 +172,7 @@ class MVGFormer(nn.Module):
                     load_tpose(dec.t_pose_dir))),
                 bayesian_update=dec.bayesian_update,
                 pose_embed_layers=dec.pose_embed_layer,
+                tri_grad_clip=self.cfg.TRAIN.TRI_GRAD_CLIP,
                 dtype=dtype,
             ),
             name="decoder",

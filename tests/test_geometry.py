@@ -305,3 +305,71 @@ class TestTriangulationGradientRobustness:
         sign = np.sign(np.sum(got * ref, -1, keepdims=True))
         sign[sign == 0] = 1
         assert np.abs(got - sign * ref).max() < 1e-4
+
+
+def test_clip_cotangent_identity_forward_clipped_backward():
+    """clip_cotangent (TRAIN.TRI_GRAD_CLIP): forward is the identity;
+    the VJP rescales each last-axis vector's cotangent to max_norm while
+    preserving direction and leaving small cotangents untouched."""
+    from mvgformer_tpu.geometry.triangulate import clip_cotangent
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(4, 5, 2).astype(np.float32))
+    # forward identity (bit-exact)
+    np.testing.assert_array_equal(np.asarray(clip_cotangent(x, 1.0)),
+                                  np.asarray(x))
+
+    # cotangents: one row tiny, one row huge
+    w = np.ones((4, 5, 2), np.float32)
+    w[0, 0] = [0.3, 0.4]        # norm 0.5  (under the clip)
+    w[1, 1] = [300.0, 400.0]    # norm 500  (clipped to 1.0)
+    w = jnp.asarray(w)
+
+    g = jax.grad(lambda v: jnp.sum(clip_cotangent(v, 1.0) * w))(x)
+    g = np.asarray(g)
+    np.testing.assert_allclose(g[0, 0], [0.3, 0.4], rtol=1e-6)
+    np.testing.assert_allclose(g[1, 1], [0.6, 0.8], rtol=1e-5)
+    # direction preserved, norm == max_norm for the clipped row
+    assert abs(np.linalg.norm(g[1, 1]) - 1.0) < 1e-5
+    # untouched rows: norm sqrt(2) > 1 -> rescaled to 1
+    assert abs(np.linalg.norm(g[2, 3]) - 1.0) < 1e-5
+
+
+def test_tri_grad_clip_train_step_same_loss_different_grads():
+    """TRAIN.TRI_GRAD_CLIP changes gradients only: the train-step loss
+    (forward) is bit-identical with the knob on/off, while the gradient
+    through the triangulation's 2D inputs differs."""
+    from mvgformer_tpu.config import load_config
+    from mvgformer_tpu.data.synthetic import make_batch
+    from mvgformer_tpu.models.mvgformer import MVGFormer
+
+    def loss_of(clip):
+        cfg = load_config()
+        cfg.DECODER.num_instance = 16
+        cfg.DECODER.d_model = 32
+        cfg.DECODER.dim_feedforward = 32
+        cfg.DECODER.num_decoder_layers = 2
+        cfg.DATASET.CAMERA_NUM = 3
+        cfg.NETWORK.IMAGE_SIZE = [64, 64]
+        cfg.POSE_RESNET.NUM_LAYERS = 18
+        cfg.POSE_RESNET.NUM_DECONV_FILTERS = [32, 32, 32]
+        cfg.TRAIN.TRI_GRAD_CLIP = clip
+        from mvgformer_tpu.core.train import (create_train_state,
+                                              make_train_step)
+
+        model = MVGFormer(cfg=cfg)
+        batch = make_batch(cfg, batch_size=1, seed=0, num_people=2)
+        state, tx = create_train_state(cfg, model, batch,
+                                       jax.random.PRNGKey(0))
+        step_fn = make_train_step(cfg, model, tx, donate=False)
+        new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+        return float(metrics["total"]), new_state.params
+
+    v_off, p_off = loss_of(None)
+    v_on, p_on = loss_of(0.1)
+    assert v_off == v_on  # forward (loss) bit-identical
+    # gradients must differ -> post-step params differ somewhere
+    leaves_off = jax.tree_util.tree_leaves(p_off)
+    leaves_on = jax.tree_util.tree_leaves(p_on)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(leaves_off, leaves_on))
