@@ -52,8 +52,18 @@ def find_checkpoint(root_dir=None):
 
 
 def train(*overrides, out_dir=None):
+    """Drive the device-resident fast trainer (tools/ap_train_fast.py):
+    run/train.py's per-step host costs (~21 s/step through the axon
+    relay) make the general loop unusable on this 48-frame proxy."""
     t0 = time.time()
-    res = run("train.py", *overrides, out_dir=out_dir)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":/root/.axon_site:" + env.get(
+        "PYTHONPATH", "")
+    cmd = [sys.executable, os.path.join(REPO, "tools", "ap_train_fast.py"),
+           "--out", out_dir or OUT, *overrides]
+    print("+", " ".join(cmd), flush=True)
+    res = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                         timeout=14400, env=env)
     print(res.stdout[-3000:])
     print(res.stderr[-3000:])
     if res.returncode != 0:
