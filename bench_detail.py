@@ -149,8 +149,11 @@ def main(only=None):
     ]
     # semantics-changing clamped-offset windows (AP cost measured by
     # tools/ap_ablation.py; PERF.md "clamped-offset windows")
+    # pallas_dma = window-DMA kernel (ops/window_dma.py): windows DMA'd
+    # straight from the padded map, no tile materialization
     for clamp, impl in ((4.0, "xla"), (2.0, "xla"),
-                        (4.0, "pallas"), (2.0, "pallas")):
+                        (4.0, "pallas"), (2.0, "pallas"),
+                        (4.0, "pallas_dma"), (2.0, "pallas_dma")):
         name = f"topk128_jacobi_winclamp{int(clamp)}_{impl}_b1"
         jobs.append((name, lambda n=name, c=clamp, i=impl: run_config(
             n, topk=128, solver="jacobi", windowed=True,

@@ -192,6 +192,11 @@ def make_train_step(cfg: Config, model: MVGFormer,
                                opt_state=opt_state)
         metrics = {k: v for k, v in losses.items()
                    if not isinstance(v, (list, dict))}
+        if cfg.TRAIN.SKIP_NONFINITE:
+            # observability for the skip guard: a run whose updates are
+            # being silently dropped (PERF.md "dropped-update runs look
+            # like training") is visible as a climbing counter
+            metrics["notfinite_total"] = opt_state.total_notfinite
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()

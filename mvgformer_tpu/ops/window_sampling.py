@@ -235,8 +235,10 @@ def window_sample(value: jnp.ndarray,
         v_lvl = jax.lax.dynamic_slice_in_dim(
             value, start, h * w, axis=1).reshape(V, h, w, H, D)
         start += h * w
-        tiles = jax.vmap(lambda m: _tile_windows(m, lp))(v_lvl)
-        # (V, n_tiles, K*K, H, D)
+        tiles = None
+        if impl != "pallas_dma":  # the DMA kernel reads the map directly
+            tiles = jax.vmap(lambda m: _tile_windows(m, lp))(v_lvl)
+            # (V, n_tiles, K*K, H, D)
 
         loc = sampling_locations[:, :, :, lvl]      # (V, Lq, H, P, 2)
         aw = attention_weights[:, :, :, lvl]        # (V, Lq, H, P)
@@ -265,7 +267,7 @@ def window_sample(value: jnp.ndarray,
                     & (py_r > lp.pad - 1.0)
                     & (py_r < h + lp.pad)).astype(jnp.float32)
 
-        if impl == "pallas":
+        if impl in ("pallas", "pallas_dma"):
             from mvgformer_tpu.ops.window_pallas import \
                 window_block_matmul
 
@@ -281,14 +283,36 @@ def window_sample(value: jnp.ndarray,
                 return rel.reshape(nrows, -1), esc
 
             rel, esc = jax.vmap(pack_view)(px, py, aw, rq, rvalid, rorig)
-            n_tiles = tiles.shape[1]
-            tiles_flat = tiles.reshape(V * n_tiles, K * K, H * D)
-            bt_flat = (btile
-                       + jnp.arange(V, dtype=btile.dtype)[:, None]
-                       * n_tiles).reshape(-1)
-            rows_out = window_block_matmul(
-                tiles_flat, rel.reshape(V * nrows, -1), bt_flat,
-                K=K, H=H, P=P, D=D, block_rows=lp.block_rows)
+            if impl == "pallas_dma":
+                # window-DMA kernel: no tile materialization — the
+                # kernel DMAs each block's (K, K) window straight from
+                # the padded map (ops/window_dma.py)
+                from mvgformer_tpu.ops.window_dma import window_block_dma
+
+                nty, ntx = lp.grid_hw
+                grow = (lp.pad, lp.pad + lp.tile)  # same as _tile_windows
+                padded = jnp.pad(v_lvl.reshape(V, h, w, H * D),
+                                 ((0, 0), grow, grow, (0, 0)))
+                oy = (btile // ntx) * lp.tile + 2
+                ox = (btile % ntx) * lp.tile + 2
+                vix = jnp.broadcast_to(
+                    jnp.arange(V, dtype=jnp.int32)[:, None], oy.shape)
+                origins = jnp.stack(
+                    [vix, oy.astype(jnp.int32), ox.astype(jnp.int32)],
+                    axis=-1).reshape(V * (nrows // lp.block_rows), 3)
+                rows_out = window_block_dma(
+                    padded.astype(value.dtype),
+                    rel.reshape(V * nrows, -1), origins,
+                    K=K, H=H, P=P, D=D, block_rows=lp.block_rows)
+            else:
+                n_tiles = tiles.shape[1]
+                tiles_flat = tiles.reshape(V * n_tiles, K * K, H * D)
+                bt_flat = (btile
+                           + jnp.arange(V, dtype=btile.dtype)[:, None]
+                           * n_tiles).reshape(-1)
+                rows_out = window_block_matmul(
+                    tiles_flat, rel.reshape(V * nrows, -1), bt_flat,
+                    K=K, H=H, P=P, D=D, block_rows=lp.block_rows)
             rows_out = rows_out.reshape(V, nrows, H * D)
             lvl_out = jax.vmap(
                 lambda r, ip: jnp.take(r, ip, axis=0))(rows_out, iperm)

@@ -47,6 +47,7 @@ def _build_ref_backbone():
 
 
 @needs_ref
+@pytest.mark.slow
 def test_backbone_matches_reference():
     import torch
     ref = _build_ref_backbone()
@@ -69,6 +70,7 @@ def test_backbone_matches_reference():
         np.testing.assert_allclose(o, t, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_backbone_shapes():
     """Feature strides 16/8/4 at the Panoptic input size (scaled down)."""
     model = PoseResNet()

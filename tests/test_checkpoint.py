@@ -16,6 +16,7 @@ from mvgformer_tpu.utils.checkpoint import (PreemptionGuard,
 from test_model import small_cfg
 
 
+@pytest.mark.slow
 def test_save_load_roundtrip(tmp_path):
     cfg = small_cfg()
     model = MVGFormer(cfg=cfg)
@@ -43,6 +44,7 @@ def test_preemption_guard_flags():
     assert guard.should_stop
 
 
+@pytest.mark.slow
 def test_resave_same_step_and_params_only_restore(tmp_path):
     """Re-saving an existing step must replace it (preemption + resume
     re-runs an epoch), next_epoch round-trips as the resume point, and

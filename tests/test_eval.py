@@ -131,6 +131,7 @@ class TestExtendedLosses:
             small_cfg
 
     @pytest.mark.parametrize("joint_type", ["l1", "l2", "mpjpe"])
+    @pytest.mark.slow
     def test_joint_loss_types(self, joint_type):
         jax, compute_losses, match_queries, make_batch, MVGFormer, \
             small_cfg = self._setup()
@@ -298,6 +299,7 @@ def test_use_ce_match():
     assert np.isfinite(float(losses["total"]))
 
 
+@pytest.mark.slow
 def test_use_ce_match_differentiable():
     """use_ce_match runs a Hungarian pure_callback inside the
     differentiated loss; the assignment cost must be stop-gradiented or

@@ -105,6 +105,7 @@ def _run_pair(query_filter_method, threshold, batch_size, seed=0,
 
 class TestFullModelParity:
     @needs_ref
+    @pytest.mark.slow
     def test_forward_parity_all_queries(self):
         out_ref, outs, cfg = _run_pair("all", threshold=0.0, batch_size=2)
         last = outs[-1]
@@ -120,6 +121,7 @@ class TestFullModelParity:
                                    ref_2d, rtol=1e-3, atol=0.5)
 
     @needs_ref
+    @pytest.mark.slow
     def test_forward_parity_init_self_attention(self):
         """init_self_attention=True: the reference reuses its single
         self_attn + norm2 for the pre-attention block; the converter must
@@ -136,6 +138,7 @@ class TestFullModelParity:
             rtol=1e-3, atol=2.0)
 
     @needs_ref
+    @pytest.mark.slow
     def test_forward_parity_threshold_filtering(self):
         """Threshold-filtered path, batch 1 (no padding quirk): the sparse
         reference and the dense-masked rebuild must agree."""

@@ -335,6 +335,7 @@ def test_clip_cotangent_identity_forward_clipped_backward():
     assert abs(np.linalg.norm(g[2, 3]) - 1.0) < 1e-5
 
 
+@pytest.mark.slow
 def test_tri_grad_clip_train_step_same_loss_different_grads():
     """TRAIN.TRI_GRAD_CLIP changes gradients only: the train-step loss
     (forward) is bit-identical with the knob on/off, while the gradient

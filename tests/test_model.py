@@ -105,6 +105,7 @@ class TestLosses:
             assert np.isfinite(val), key
             assert val >= 0, key
 
+    @pytest.mark.slow
     def test_grads_finite(self, setup):
         cfg, model, batch, variables = setup
         match = match_queries(
@@ -150,6 +151,7 @@ class TestLosses:
 
 
 class TestTopKCompaction:
+    @pytest.mark.slow
     def test_topk_matches_dense_for_kept_queries(self):
         """With top-K compaction, kept queries' outputs must equal the dense
         run exactly; dropped queries read as zeros."""
@@ -181,6 +183,7 @@ class TestTopKCompaction:
                 else:
                     np.testing.assert_array_equal(topk[q], 0)
 
+    @pytest.mark.slow
     def test_topk_ignored_in_training(self):
         cfg = small_cfg()
         cfg.DECODER.inference_topk_queries = 4
@@ -240,6 +243,7 @@ class TestPointTopM:
             np.asarray(outs_f[-1]["pred_poses"]))
 
 
+@pytest.mark.slow
 def test_st_triangulation_method_runs():
     """triangulation_method 'st' wires structural triangulation end-to-end."""
     cfg = small_cfg(**{"DECODER.triangulation_method": "st",

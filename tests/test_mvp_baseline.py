@@ -128,6 +128,7 @@ class TestMvPDispatch:
         with pytest.raises(ValueError):
             build_model(cfg)
 
+    @pytest.mark.slow
     def test_mvp_train_step_decreases_loss(self):
         from mvgformer_tpu.core.train import (create_train_state,
                                               make_train_step)
@@ -151,6 +152,7 @@ class TestMvPDispatch:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
 
+    @pytest.mark.slow
     def test_mvp_eval_step_pred_format(self):
         from mvgformer_tpu.core.train import make_eval_step
 
@@ -169,6 +171,7 @@ class TestMvPDispatch:
 
 
 class TestEvalLossStep:
+    @pytest.mark.slow
     def test_eval_loss_dict(self):
         """DEBUG.LOG_VAL_LOSS support: criterion on eval batches
         (reference lib/core/function.py:413-576)."""

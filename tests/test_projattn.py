@@ -41,6 +41,7 @@ class TestDeformSample:
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
 
     @needs_ref
+    @pytest.mark.slow
     def test_gradients_match_reference(self, rng):
         import torch
         core = ref_deform_core()

@@ -17,6 +17,7 @@ from test_model import small_cfg
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases_and_backbone_frozen(self):
         cfg = small_cfg()
         cfg.TRAIN.LR = 1e-3
@@ -47,6 +48,7 @@ class TestTrainStep:
         np.testing.assert_array_equal(np.asarray(backbone_before),
                                       np.asarray(backbone_after))
 
+    @pytest.mark.slow
     def test_train_backbone_knob_updates_backbone(self):
         """TRAIN.TRAIN_BACKBONE=True (synthetic from-scratch training;
         the reference always freezes, run/train_3d.py:118-121) must make
@@ -95,6 +97,7 @@ class TestTrainStep:
 
 
 class TestRemat:
+    @pytest.mark.slow
     def test_remat_decoder_matches_no_remat(self):
         """nn.remat on the decoder layers trades recompute for HBM in the
         backward pass (flagship train step OOMs without it, PERF.md
@@ -144,6 +147,7 @@ class TestRemat:
 
 
 class TestMeshTraining:
+    @pytest.mark.slow
     def test_sharded_train_step_matches_single(self):
         """The same step on an 8-device data-parallel mesh must produce the
         same parameters as the single-device run (XLA inserts the
@@ -193,6 +197,7 @@ class TestMeshTraining:
 
 
 class TestViewParallelism:
+    @pytest.mark.slow
     def test_2d_mesh_matches_single_device(self):
         """(data x view) 2-D mesh: per-view work sharded over the 'view'
         axis; outputs must equal the unsharded run (XLA inserts the

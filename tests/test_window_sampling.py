@@ -90,6 +90,7 @@ class TestWindowSampling:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_full_model_windowed_matches_exact(self):
         """End to end: MVGFormer with the rig-static windowed layer-1
         plan must match the exact-gather model at offset init (the radial
@@ -123,13 +124,17 @@ class TestWindowSampling:
             np.asarray(got[-1]["pred_poses_2d"]),
             np.asarray(ref[-1]["pred_poses_2d"]), atol=1.0)
 
-    def test_pallas_impl_matches_exact(self):
-        """The Pallas window kernel (interpret mode off-TPU) must agree
+    @pytest.mark.parametrize("impl", ["pallas", "pallas_dma"])
+    def test_pallas_impl_matches_exact(self, impl):
+        """The Pallas window kernels (interpret mode off-TPU) must agree
         with the exact sampler within bf16-weight-row tolerance at a
-        small clamp-class window (K = 4 + 2*6 = 16)."""
+        small clamp-class window (K = 4 + 2*6 = 16). pallas_dma is the
+        window-DMA kernel (ops/window_dma.py): same math, windows DMA'd
+        straight from the padded map instead of a materialized tile
+        buffer."""
         value, locs, aw, centers_px = make_inputs(5, offset_px=3.0)
         plan = build_window_plan(centers_px, SHAPES, tile=4, halo=6,
-                                 impl="pallas")
+                                 impl=impl)
         ref = deform_sample(jnp.asarray(value), SHAPES,
                             jnp.asarray(locs), jnp.asarray(aw))
         got, esc = jax.jit(lambda v, l, a: window_sample(
@@ -155,6 +160,7 @@ class TestWindowSampling:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_full_model_clamped_window_matches_clamped_gather(self):
         """DECODER.layer1_offset_clamp: the clamp binds (radial-bias init
         reaches dec_n_points px > clamp), the window halo derives from the

@@ -30,7 +30,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CFG = os.path.join(REPO, "configs", "synthetic_ap_ablation.yaml")
 OUT = os.path.join(REPO, "output", "ap_ablation")
-RESULTS = os.path.join(OUT, "results.jsonl")
+# Results land in the TRACKED perf/ dir, not the gitignored output/:
+# round 3's table evaporated with output/ between rounds.
+PERF_DIR = os.path.join(REPO, "perf")
+RESULTS = os.path.join(PERF_DIR, "ap_ablation_results.jsonl")
 
 
 def run(script, *args, timeout=7200, out_dir=None):
@@ -127,7 +130,9 @@ def eval_config(name, overrides, ckpt):
     return row
 
 
-def evaluate():
+def evaluate(windowed=None):
+    if windowed is None:  # back-compat: derive from CLI flags
+        windowed = "--windowed" in sys.argv
     ckpt = find_checkpoint()
     print("checkpoint:", ckpt)
     # 13 configs: each eval is its own XLA compile (~5-10 min on the
@@ -168,11 +173,11 @@ def evaluate():
                 "DECODER.inference_topk_queries=128",
                 f"DECODER.layer1_offset_clamp={clamp}"]
         configs.append((f"jacobi_k128_clamp{int(clamp)}", list(base)))
-        if "--windowed" in sys.argv:
+        if windowed:
             configs.append((f"jacobi_k128_clamp{int(clamp)}_windowed",
                             base + ["DECODER.layer1_windowed_sampling"
                                     "=true"]))
-    if "--windowed" in sys.argv:
+    if windowed:
         for topk in (None, 128):
             name = (f"jacobi_{'dense' if topk is None else f'k{topk}'}"
                     "_windowed")
@@ -198,7 +203,11 @@ def evaluate():
 
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
+    os.makedirs(PERF_DIR, exist_ok=True)
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode not in ("train", "eval", "all", "train_solver"):
+        sys.exit(f"unknown mode {mode!r}; expected "
+                 "train|eval|all|train_solver")
     if mode in ("train", "all"):
         train()
     if mode in ("eval", "all"):

@@ -9,11 +9,11 @@ PERF.md "measurement traps"). So the matrix is driven in two phases:
           epoch-20 one the fast trainer writes mid-run), CONCURRENTLY
           with training: the eval's chip occupancy is negligible next to
           its compile, so training throughput is barely touched while
-          the compile cache fills. Rows land in results_warm.jsonl —
+          the compile cache fills. Rows land in the _warm results file —
           a preview, not the committed table.
   final — re-run every config against the finished checkpoint; each is
-          now a cache hit. Rows land in results.jsonl (the table
-          PERF.md commits).
+          now a cache hit. Rows land in perf/ap_ablation_results.jsonl
+          (the table PERF.md commits).
 
 Usage:
     python tools/ap_eval_driver.py warm|final [--windowed]
@@ -29,10 +29,13 @@ import ap_ablation
 
 def main():
     phase = sys.argv[1] if len(sys.argv) > 1 else "final"
+    if phase not in ("warm", "final"):
+        sys.exit(f"unknown phase {phase!r}; expected warm|final")
     if phase == "warm":
-        ap_ablation.RESULTS = os.path.join(ap_ablation.OUT,
-                                           "results_warm.jsonl")
-    ap_ablation.evaluate()
+        ap_ablation.RESULTS = os.path.join(
+            ap_ablation.PERF_DIR, "ap_ablation_results_warm.jsonl")
+    os.makedirs(ap_ablation.PERF_DIR, exist_ok=True)
+    ap_ablation.evaluate(windowed="--windowed" in sys.argv)
 
 
 if __name__ == "__main__":

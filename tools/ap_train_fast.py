@@ -51,7 +51,7 @@ def main():
 
     from mvgformer_tpu.core.train import create_train_state, make_train_step
     from mvgformer_tpu.data.datasets import SyntheticDataset
-    from mvgformer_tpu.models.mvgformer import MVGFormer
+    from mvgformer_tpu.models import build_model
     from mvgformer_tpu.utils.checkpoint import save_checkpoint
 
     ds = SyntheticDataset(cfg, "train", True)
@@ -67,7 +67,7 @@ def main():
               for i in range(n)]
     print(f"staged in {time.time()-t0:.1f}s", flush=True)
 
-    model = MVGFormer(cfg=cfg)
+    model = build_model(cfg)
     t0 = time.time()
     state, tx = create_train_state(cfg, model, frames[0],
                                    jax.random.PRNGKey(0),
@@ -84,23 +84,39 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     log_path = os.path.join(args.out, "fast_train_metrics.jsonl")
     t_start = time.time()
-    for epoch in range(cfg.TRAIN.END_EPOCH):
-        t0 = time.time()
-        perm = np.random.RandomState(cfg.TRAIN.SEED + epoch).permutation(n)
-        metrics = None
-        for i in perm:
-            rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(state, frames[int(i)], sub)
-        metrics = {k: float(v) for k, v in metrics.items()}
-        line = {"epoch": epoch, "wall_s": round(time.time() - t0, 1),
-                **{k: round(v, 4) for k, v in metrics.items()}}
-        print(json.dumps(line), flush=True)
-        with open(log_path, "a") as f:
-            f.write(json.dumps(line) + "\n")
-        if (epoch + 1) % 20 == 0 or epoch + 1 == cfg.TRAIN.END_EPOCH:
-            save_checkpoint(ckpt_dir, state, epoch, next_epoch=epoch + 1)
-            print(f"checkpointed epoch {epoch}", flush=True)
-    print(f"trained {cfg.TRAIN.END_EPOCH} epochs in "
+    last_saved = -1
+    last_done = -1
+    try:
+        for epoch in range(cfg.TRAIN.END_EPOCH):
+            t0 = time.time()
+            perm = np.random.RandomState(
+                cfg.TRAIN.SEED + epoch).permutation(n)
+            metrics = None
+            for i in perm:
+                rng, sub = jax.random.split(rng)
+                state, metrics = step_fn(state, frames[int(i)], sub)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            line = {"epoch": epoch, "wall_s": round(time.time() - t0, 1),
+                    **{k: round(v, 4) for k, v in metrics.items()}}
+            print(json.dumps(line), flush=True)
+            with open(log_path, "a") as f:
+                f.write(json.dumps(line) + "\n")
+            last_done = epoch
+            if (epoch + 1) % 20 == 0 or epoch + 1 == cfg.TRAIN.END_EPOCH:
+                save_checkpoint(ckpt_dir, state, epoch,
+                                next_epoch=epoch + 1)
+                last_saved = epoch
+                print(f"checkpointed epoch {epoch}", flush=True)
+    finally:
+        # Always persist the last completed epoch (VERDICT r3 item 9):
+        # round-3's run was interrupted at epoch 70 and only the
+        # epoch-59 cadence checkpoint survived.
+        if last_done > last_saved:
+            save_checkpoint(ckpt_dir, state, last_done,
+                            next_epoch=last_done + 1)
+            print(f"checkpointed epoch {last_done} (final reached)",
+                  flush=True)
+    print(f"trained {last_done + 1} epochs in "
           f"{(time.time()-t_start)/60:.1f} min", flush=True)
 
 
