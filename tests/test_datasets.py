@@ -111,6 +111,7 @@ def test_cam_list_matches_reference():
 
 class TestShelfFinetune:
     @needs_shelf
+    @pytest.mark.slow
     def test_pseudo_gt_train_frames(self, tmp_path):
         """Finetune db from a voxelpose pseudo-GT pickle
         (shelf.py:151-187): 15-joint poses, per-view visibility."""

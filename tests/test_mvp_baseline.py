@@ -22,6 +22,7 @@ SHAPES = ((16, 30), (8, 15), (4, 8))
 class TestMvPBaseline:
     @pytest.mark.parametrize("mode", ["ablation_not_use_rayconv",
                                       "use_rayconv"])
+    @pytest.mark.slow
     def test_forward_shapes(self, mode):
         cfg = small_cfg(**{
             "DECODER.projattn_posembed_mode": mode,
@@ -55,6 +56,7 @@ class TestMvPBaseline:
 
 class TestRayconvParity:
     @needs_ref
+    @pytest.mark.slow
     def test_use_rayconv_matches_reference(self, rng):
         import torch
         from test_projattn import _copy_torch_linear

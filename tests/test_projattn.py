@@ -84,6 +84,7 @@ def _copy_torch_linear(params, tmod, name):
 class TestProjAttnParity:
     @needs_ref
     @pytest.mark.parametrize("lq", [10, 33])
+    @pytest.mark.slow
     def test_forward_matches_reference(self, rng, lq):
         import torch
         RefProjAttn = ref_projattn()

@@ -75,14 +75,16 @@ def train(*overrides, out_dir=None):
 
 
 def train_solver(solvers=("eigh",)):
-    """VERDICT r2 item 4: the training-solver comparison. The main `train`
-    mode uses jacobi (fastest stable solver; see
-    configs/synthetic_ap_ablation.yaml); this trains the alternatives via
-    the device-resident fast trainer so PERF.md can table the
-    training-AP effect of the solver choice. Default compares eigh only:
-    svd (linalg) cannot train this from-scratch recipe — its VJP NaNs in
-    epoch 0 on degenerate random-init triangulations (yaml notes), so a
-    linalg run would only measure SKIP_NONFINITE dropping steps."""
+    """The training-solver comparison (VERDICT r2 item 4 / r3 item 4).
+    The main `train` mode uses jacobi (fastest stable solver; see
+    configs/synthetic_ap_ablation.yaml); this trains the alternatives
+    via the device-resident fast trainer so PERF.md can table the
+    training-AP effect of the solver choice. Pass solver names on the
+    CLI to select: `python tools/ap_ablation.py train_solver eigh
+    linalg`. Note the round-3 "svd (linalg) NaNs in epoch 0" claim
+    predates TRI_GRAD_CLIP — a linalg run here IS the re-verification
+    (watch notfinite_total in fast_train_metrics.jsonl: a climbing
+    counter means updates are being dropped, not applied)."""
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + ":/root/.axon_site:" + env.get(
         "PYTHONPATH", "")
@@ -213,4 +215,5 @@ if __name__ == "__main__":
     if mode in ("eval", "all"):
         evaluate()
     if mode == "train_solver":
-        train_solver()
+        train_solver(tuple(a for a in sys.argv[2:]
+                           if not a.startswith("-")) or ("eigh",))
