@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         REPO, "output", "ap_ablation"))
     ap.add_argument("--cfg", default=CFG)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in "
+                         "--out/checkpoints (hard-killed runs leave no "
+                         "final save; this picks up the cadence one)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -52,7 +56,8 @@ def main():
     from mvgformer_tpu.core.train import create_train_state, make_train_step
     from mvgformer_tpu.data.datasets import SyntheticDataset
     from mvgformer_tpu.models import build_model
-    from mvgformer_tpu.utils.checkpoint import save_checkpoint
+    from mvgformer_tpu.utils.checkpoint import (load_checkpoint,
+                                                save_checkpoint)
 
     ds = SyntheticDataset(cfg, "train", True)
     n = len(ds.frames)
@@ -79,15 +84,29 @@ def main():
     step_fn = make_train_step(cfg, model, tx, donate=False)  # jitted
     print(f"state built in {time.time()-t0:.1f}s", flush=True)
 
-    rng = jax.random.PRNGKey(cfg.TRAIN.SEED)
     ckpt_dir = os.path.join(args.out, "checkpoints")
     os.makedirs(args.out, exist_ok=True)
+    start_epoch = 0
+    if args.resume:
+        restored = load_checkpoint(ckpt_dir, state)
+        if restored is None:
+            print("--resume: no checkpoint found, training from scratch",
+                  flush=True)
+        else:
+            state, start_epoch, _ = restored
+            print(f"resumed at epoch {start_epoch}", flush=True)
+    # per-epoch shuffles stay bit-identical across resume (seed+epoch);
+    # the step-rng stream restarts folded at start_epoch rather than
+    # replaying the pre-kill split chain — fine for the proxy (the rng
+    # only feeds dropout-free stochastic rounding paths)
+    rng = jax.random.fold_in(jax.random.PRNGKey(cfg.TRAIN.SEED),
+                             start_epoch)
     log_path = os.path.join(args.out, "fast_train_metrics.jsonl")
     t_start = time.time()
-    last_saved = -1
-    last_done = -1
+    last_saved = start_epoch - 1
+    last_done = start_epoch - 1
     try:
-        for epoch in range(cfg.TRAIN.END_EPOCH):
+        for epoch in range(start_epoch, cfg.TRAIN.END_EPOCH):
             t0 = time.time()
             perm = np.random.RandomState(
                 cfg.TRAIN.SEED + epoch).permutation(n)
