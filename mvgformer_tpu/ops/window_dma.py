@@ -36,30 +36,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(origins_ref, rel_ref, pmap_ref, out_ref, win_ref, sem,
-            *, K, H, P, D, block_rows):
+            *, K, Kx, H, P, D, block_rows):
     """origins_ref: (nblocks, 3) int32 scalar-prefetch (v, y0, x0) per
-    block, origins in PADDED map pixel coords.
+    block, origins in PADDED map pixel coords. x0 must be a multiple of
+    8: Mosaic requires DMA slice offsets in the sublane (second-minor)
+    dim to be tile-aligned ("tile index ... divisible by the tiling"),
+    so the caller aligns origins down and widens the window to Kx >=
+    K + max_shift (rows' rx are relative to the ALIGNED origin).
     rel_ref:  (R, H*3P) f32 packed [ry(P) | rx(P) | aw(P)] per head
               (this block's rows, blocked by the BlockSpec).
     pmap_ref: (V, hp, wp, H*D) bf16 padded feature map, stays in ANY/HBM.
     out_ref:  (R, H*D) bf16.
-    win_ref:  (K, K, H*D) VMEM scratch; sem: DMA semaphore."""
+    win_ref:  (K, Kx, H*D) VMEM scratch; sem: DMA semaphore."""
     b = pl.program_id(0)
     v = origins_ref[b, 0]
     y0 = origins_ref[b, 1]
-    x0 = origins_ref[b, 2]
+    # origins carry x0/8; multiplying here lets Mosaic PROVE the sublane
+    # offset is 8-divisible (a dynamic x0 fails its divisibility check
+    # even when the values are in fact aligned)
+    x0 = origins_ref[b, 2] * 8
     copy = pltpu.make_async_copy(
-        pmap_ref.at[v, pl.ds(y0, K), pl.ds(x0, K), :], win_ref, sem)
+        pmap_ref.at[v, pl.ds(y0, K), pl.ds(x0, Kx), :], win_ref, sem)
     copy.start()
 
-    K2 = K * K
+    # build every head's weight rows WHILE the window DMA is in flight —
+    # the bilinear rows depend only on rel, not on the window
+    K2 = K * Kx
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, K2), 1)
-    gy = (iota // K).astype(jnp.float32)
-    gx = (iota % K).astype(jnp.float32)
+    gy = (iota // Kx).astype(jnp.float32)
+    gx = (iota % Kx).astype(jnp.float32)
     rel = rel_ref[:]  # (R, H*3P)
-
-    copy.wait()
-    win = win_ref[:].reshape(K2, H * D)
+    rws = []
     for h in range(H):
         base = h * 3 * P
         rw = jnp.zeros((block_rows, K2), jnp.float32)
@@ -70,23 +77,37 @@ def _kernel(origins_ref, rel_ref, pmap_ref, out_ref, win_ref, sem,
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - gy))
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - gx))
             rw = rw + aw * (wy * wx)
-        acc = jnp.dot(rw.astype(win.dtype), win[:, h * D:(h + 1) * D],
+        rws.append(rw)
+
+    copy.wait()
+    win = win_ref[:].reshape(K2, H * D)
+    for h in range(H):
+        acc = jnp.dot(rws[h].astype(win.dtype),
+                      win[:, h * D:(h + 1) * D],
                       preferred_element_type=jnp.float32)
         out_ref[:, h * D:(h + 1) * D] = acc.astype(out_ref.dtype)
 
 
 def window_block_dma(padded_map: jnp.ndarray, rel: jnp.ndarray,
                      origins: jnp.ndarray, K: int, H: int, P: int,
-                     D: int, block_rows: int) -> jnp.ndarray:
+                     D: int, block_rows: int, Kx: int = None
+                     ) -> jnp.ndarray:
     """padded_map: (V, hp, wp, H*D) bf16 (zero-padded level map);
-    rel: (nrows, H*3P) f32 tile-sorted rows (views flattened);
-    origins: (nblocks, 3) int32 (view, y0, x0) per row-block in padded
-    pixel coords. Returns (nrows, H*D) bf16 rows in the same order."""
+    rel: (nrows, H*3P) f32 tile-sorted rows (views flattened), rx
+    relative to the 8-ALIGNED window origin;
+    origins: (nblocks, 3) int32 (view, y0, x0/8) per row-block in padded
+    pixel coords — x is passed PRE-DIVIDED by 8 (Mosaic sublane-tiling
+    constraint on DMA slice offsets; the kernel multiplies back so the
+    alignment is provable). Kx: window width (multiple of 8, >= K).
+    Returns (nrows, H*D) bf16 rows in the same order."""
+    if Kx is None:
+        Kx = -(-K // 8) * 8
+    assert Kx % 8 == 0 and Kx >= K, (K, Kx)
     nrows = rel.shape[0]
     nblocks = nrows // block_rows
     assert nblocks * block_rows == nrows, (nrows, block_rows)
     assert origins.shape == (nblocks, 3), (origins.shape, nblocks)
-    kern = functools.partial(_kernel, K=K, H=H, P=P, D=D,
+    kern = functools.partial(_kernel, K=K, Kx=Kx, H=H, P=P, D=D,
                              block_rows=block_rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -100,7 +121,7 @@ def window_block_dma(padded_map: jnp.ndarray, rel: jnp.ndarray,
         out_specs=pl.BlockSpec((block_rows, H * D),
                                lambda b, og: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((K, K, H * D), padded_map.dtype),
+            pltpu.VMEM((K, Kx, H * D), padded_map.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -111,9 +132,9 @@ def window_block_dma(padded_map: jnp.ndarray, rel: jnp.ndarray,
         interpret=jax.devices()[0].platform != "tpu",
         out_shape=jax.ShapeDtypeStruct((nrows, H * D), jnp.bfloat16),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nrows * H * (P * K * K * 3 + K * K * D),
+            flops=2 * nrows * H * (P * K * Kx * 3 + K * Kx * D),
             bytes_accessed=(nrows * rel.shape[1] * 4
-                            + nblocks * K * K * H * D * 2
+                            + nblocks * K * Kx * H * D * 2
                             + nrows * H * D * 2),
             transcendentals=0),
     )(origins, rel, padded_map)

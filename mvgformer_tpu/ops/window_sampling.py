@@ -184,12 +184,14 @@ def _tile_windows(v_map: jnp.ndarray, plan: LevelPlan) -> jnp.ndarray:
     return cols.reshape(nty * ntx, K * K, H, D)
 
 
-def _inside_mass(rx, ry, K):
+def _inside_mass(rx, ry, kx, ky):
     """Closed-form in-window bilinear mass per sample (the integer
     triangle kernel is a partition of unity, so the mass inside
-    [0, K-1] is the product of the two edge-clipped axis masses)."""
-    mx = jnp.clip(rx + 1.0, 0.0, 1.0) * jnp.clip(K - rx, 0.0, 1.0)
-    my = jnp.clip(ry + 1.0, 0.0, 1.0) * jnp.clip(K - ry, 0.0, 1.0)
+    [0, k-1] per axis is the product of the two edge-clipped axis
+    masses). kx/ky are the window extents in x/y (they differ for the
+    DMA kernel, whose x extent is widened to the 8-aligned Kx)."""
+    mx = jnp.clip(rx + 1.0, 0.0, 1.0) * jnp.clip(kx - rx, 0.0, 1.0)
+    my = jnp.clip(ry + 1.0, 0.0, 1.0) * jnp.clip(ky - ry, 0.0, 1.0)
     return mx * my
 
 
@@ -271,6 +273,22 @@ def window_sample(value: jnp.ndarray,
             from mvgformer_tpu.ops.window_pallas import \
                 window_block_matmul
 
+            if impl == "pallas_dma":
+                # Mosaic requires DMA slice offsets in the sublane
+                # (second-minor) dim to be 8-aligned: align each
+                # window's x-origin down and widen the window to Kx.
+                # rx becomes relative to the ALIGNED origin; the extra
+                # columns on the right read map padding (zeros), so
+                # semantics are unchanged (strictly more coverage).
+                ox_np = ((np.asarray(lp.block_tile) % lp.grid_hw[1])
+                         * lp.tile + 2)
+                Kx = -(-(K + int((ox_np % 8).max())) // 8) * 8
+                rorig_eff = jnp.stack(
+                    [(rorig[..., 0] // 8) * 8, rorig[..., 1]], axis=-1)
+            else:
+                Kx = K
+                rorig_eff = rorig
+
             def pack_view(px_v, py_v, aw_v, rq_v, rvalid_v, rorig_v):
                 px_r = take_rows(px_v, rq_v)
                 py_r = take_rows(py_v, rq_v)
@@ -278,32 +296,36 @@ def window_sample(value: jnp.ndarray,
                 ry = py_r - rorig_v[:, None, None, 1].astype(jnp.float32)
                 ra = take_rows(aw_v, rq_v) * rvalid_v[:, None, None]
                 esc = jnp.sum(ra * touch_mask(px_r, py_r) * jnp.maximum(
-                    0.0, 1.0 - _inside_mass(rx, ry, K)))
+                    0.0, 1.0 - _inside_mass(rx, ry, Kx, K)))
                 rel = jnp.concatenate([ry, rx, ra], axis=-1)
                 return rel.reshape(nrows, -1), esc
 
-            rel, esc = jax.vmap(pack_view)(px, py, aw, rq, rvalid, rorig)
+            rel, esc = jax.vmap(pack_view)(px, py, aw, rq, rvalid,
+                                           rorig_eff)
             if impl == "pallas_dma":
                 # window-DMA kernel: no tile materialization — the
-                # kernel DMAs each block's (K, K) window straight from
+                # kernel DMAs each block's (K, Kx) window straight from
                 # the padded map (ops/window_dma.py)
                 from mvgformer_tpu.ops.window_dma import window_block_dma
 
                 nty, ntx = lp.grid_hw
                 grow = (lp.pad, lp.pad + lp.tile)  # same as _tile_windows
+                # extra right padding in x covers the widened window
+                growx = (lp.pad, lp.pad + lp.tile + (Kx - K))
                 padded = jnp.pad(v_lvl.reshape(V, h, w, H * D),
-                                 ((0, 0), grow, grow, (0, 0)))
+                                 ((0, 0), grow, growx, (0, 0)))
                 oy = (btile // ntx) * lp.tile + 2
-                ox = (btile % ntx) * lp.tile + 2
+                # x origin passed as x0/8 (window_block_dma contract)
+                ox8 = ((btile % ntx) * lp.tile + 2) // 8
                 vix = jnp.broadcast_to(
                     jnp.arange(V, dtype=jnp.int32)[:, None], oy.shape)
                 origins = jnp.stack(
-                    [vix, oy.astype(jnp.int32), ox.astype(jnp.int32)],
+                    [vix, oy.astype(jnp.int32), ox8.astype(jnp.int32)],
                     axis=-1).reshape(V * (nrows // lp.block_rows), 3)
                 rows_out = window_block_dma(
                     padded.astype(value.dtype),
                     rel.reshape(V * nrows, -1), origins,
-                    K=K, H=H, P=P, D=D, block_rows=lp.block_rows)
+                    K=K, H=H, P=P, D=D, block_rows=lp.block_rows, Kx=Kx)
             else:
                 n_tiles = tiles.shape[1]
                 tiles_flat = tiles.reshape(V * n_tiles, K * K, H * D)
