@@ -123,6 +123,7 @@ def eval_config(name, overrides, ckpt):
     metrics = ast.literal_eval(m.group(1))
     row = {"config": name, "ap25": metrics.get("ap@25"),
            "ap50": metrics.get("ap@50"), "ap100": metrics.get("ap@100"),
+           "ap150": metrics.get("ap@150"),
            "mpjpe": metrics.get("mpjpe"),
            "recall500": metrics.get("recall@500"),
            "wall_s": round(time.time() - t0, 1)}
@@ -195,12 +196,13 @@ def evaluate(windowed=None):
         if row:
             rows.append(row)
 
-    print("\n| config | AP25 | AP50 | AP100 | MPJPE | recall@500 |")
-    print("|---|---|---|---|---|---|")
+    print("\n| config | AP25 | AP50 | AP100 | AP150 | MPJPE | "
+          "recall@500 |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['config']} | {r['ap25']:.4f} | {r['ap50']:.4f} | "
-              f"{r['ap100']:.4f} | {r['mpjpe']:.2f} | "
-              f"{r['recall500']:.4f} |")
+              f"{r['ap100']:.4f} | {(r.get('ap150') or 0.0):.4f} | "
+              f"{r['mpjpe']:.2f} | {r['recall500']:.4f} |")
 
 
 if __name__ == "__main__":
