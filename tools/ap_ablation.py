@@ -74,7 +74,7 @@ def train(*overrides, out_dir=None):
     print(f"trained in {(time.time()-t0)/60:.1f} min")
 
 
-def train_solver(solvers=("eigh",)):
+def train_solver(solvers=("eigh",), overrides=()):
     """The training-solver comparison (VERDICT r2 item 4 / r3 item 4).
     The main `train` mode uses jacobi (fastest stable solver; see
     configs/synthetic_ap_ablation.yaml); this trains the alternatives
@@ -94,7 +94,7 @@ def train_solver(solvers=("eigh",)):
         cmd = [sys.executable, os.path.join(REPO, "tools",
                                             "ap_train_fast.py"),
                "--out", out_dir,
-               f"DECODER.triangulation_method={solver}"]
+               f"DECODER.triangulation_method={solver}", *overrides]
         print("+", " ".join(cmd), flush=True)
         res = subprocess.run(cmd, capture_output=True, text=True,
                              cwd=REPO, timeout=14400, env=env)
@@ -217,5 +217,9 @@ if __name__ == "__main__":
     if mode in ("eval", "all"):
         evaluate()
     if mode == "train_solver":
-        train_solver(tuple(a for a in sys.argv[2:]
-                           if not a.startswith("-")) or ("eigh",))
+        rest = [a for a in sys.argv[2:] if not a.startswith("-")]
+        # KEY.SUB=value args are config overrides (e.g. a shorter
+        # TRAIN.END_EPOCH for time-boxed comparisons); bare names are
+        # solvers
+        train_solver(tuple(a for a in rest if "=" not in a) or ("eigh",),
+                     overrides=tuple(a for a in rest if "=" in a))
