@@ -35,13 +35,17 @@ def main():
     cfg.DECODER.num_instance = 1024
     cfg.DATASET.CAMERA_NUM = 5
     cfg.NETWORK.IMAGE_SIZE = [960, 512]
-    # inference fast path: layers 2-4 run on the top-128 person queries by
-    # layer-1 score (vs max ~10 people in Panoptic scenes, a 12x margin);
+    # inference fast path: layers 2-4 run on the top-64 person queries by
+    # layer-1 score (vs max ~10 people in Panoptic scenes, a 6.4x margin);
     # kept queries are bit-identical to the dense run
-    # (tests/test_model.py). The K*J=1920-shape compiler fault that forced
-    # K=256 in round 1 is gone on the current toolchain (K=128: 8.04 fps
-    # vs K=256: 6.68, 2026-08-17).
-    cfg.DECODER.inference_topk_queries = 128
+    # (tests/test_model.py). K=64 is AP-validated by the synthetic
+    # ablation (perf/ap_ablation_results.jsonl, PERF.md "Synthetic
+    # AP/MPJPE ablation": jacobi_k64 212.2 mm / recall 0.908 vs k128
+    # 223.7 mm / 0.850 — within or better than the noise band), and
+    # measured 8.89 fps vs 7.97 at K=128 (2026-08-19). The faster
+    # point-top-m sparsification candidates measured NEGATIVE
+    # (3.98-6.62 fps) and stay off.
+    cfg.DECODER.inference_topk_queries = 64
     # scalarized fixed-sweep Jacobi null-vector solver: ~1.5 ms vs 23 ms
     # (SVD) / 17 ms (XLA eigh) per layer at these shapes; agrees with the
     # SVD solution to ~1e-4 on the unit null vector (PERF.md)
