@@ -174,7 +174,18 @@ def main(only=None):
 
     for name, fn in jobs:
         if want(name):
-            fn()
+            # fail soft: a config that cannot compile (e.g. the
+            # winclamp pallas_dma rows overflow Mosaic SMEM at flagship
+            # scale, perf/bench_rows_r04.jsonl) must not kill the rest
+            # of the matrix. NOTE a Mosaic compiler fault can still
+            # wedge the TPU worker for ~1 min (PERF.md "measurement
+            # traps"); subsequent rows may need that recovery window.
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001 - report-and-continue
+                msg = str(e).split("\n", 1)[0][:300]
+                print(json.dumps({"config": name, "error": msg}),
+                      flush=True)
 
 
 if __name__ == "__main__":
