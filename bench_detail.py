@@ -171,6 +171,10 @@ def main(only=None):
                 n, topk=t, solver="jacobi", point_topm=m_)))
     jobs.append(("topk64_jacobi_b1", lambda: run_config(
         "topk64_jacobi_b1", topk=64, solver="jacobi")))
+    jobs.append(("topk64_jacobi_b2", lambda: run_config(
+        "topk64_jacobi_b2", batch_size=2, topk=64, solver="jacobi")))
+    jobs.append(("topk64_jacobi_b4", lambda: run_config(
+        "topk64_jacobi_b4", batch_size=4, topk=64, solver="jacobi")))
 
     for name, fn in jobs:
         if want(name):
