@@ -42,10 +42,17 @@ def main():
     # ablation (perf/ap_ablation_results.jsonl, PERF.md "Synthetic
     # AP/MPJPE ablation": jacobi_k64 212.2 mm / recall 0.908 vs k128
     # 223.7 mm / 0.850 — within or better than the noise band), and
-    # measured 8.89 fps vs 7.97 at K=128 (2026-08-19). The faster
-    # point-top-m sparsification candidates measured NEGATIVE
-    # (3.98-6.62 fps) and stay off.
+    # measured 8.89 fps vs 7.97 at K=128 (2026-08-19).
     cfg.DECODER.inference_topk_queries = 64
+    # point-top-m=4: keep the top-4 of P=8 attention points per (query,
+    # head, level), renormalized — halves the gather rows in every layer.
+    # AP-approved (jacobi_k64_ptop4: 219.4 mm / recall 0.925, the table's
+    # "headline rule" winner). It first measured fps-NEGATIVE (6.62) —
+    # the selection's take_along_axis indirection was itself a 127 ms
+    # tiny-slice gather; replaced with a one-hot einsum (~1.8 ms, pure
+    # VPU math, tools/probes/probe_ptop_indirection.py) it benches
+    # 10.42 fps vs 8.97 without (v5e 2026-08-19).
+    cfg.DECODER.inference_point_topm = 4
     # scalarized fixed-sweep Jacobi null-vector solver: ~1.5 ms vs 23 ms
     # (SVD) / 17 ms (XLA eigh) per layer at these shapes; agrees with the
     # SVD solution to ~1e-4 on the unit null vector (PERF.md)

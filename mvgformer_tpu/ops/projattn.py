@@ -174,8 +174,15 @@ class ProjAttn(nn.Module):
             w_sel, p_idx = jax.lax.top_k(weights, m)  # (N, Lq, H, Lt, m)
             kept_mass = jnp.sum(w_sel, axis=(-2, -1), keepdims=True)
             weights = w_sel / jnp.maximum(kept_mass, 1e-6)
-            locations = jnp.take_along_axis(
-                locations, p_idx[..., None], axis=4)
+            # select the kept points' locations with a one-hot einsum
+            # (pure VPU math) instead of take_along_axis: the tiny-slice
+            # gather over (N*Lq*H*Lt*m) rows of (1, 2) costs ~127 ms at
+            # dense production shapes vs ~1.8 ms for the einsum
+            # (tools/probes/probe_ptop_indirection.py, v5e 2026-08-19) —
+            # it was the entire reason ptop measured fps-negative in r4.
+            onehot = jax.nn.one_hot(p_idx, P, dtype=locations.dtype)
+            locations = jnp.einsum("nqhlmp,nqhlpc->nqhlmc",
+                                   onehot, locations)
 
         # debug taps for attention-point overlays (visualize_proj_attention,
         # lib/utils/vis.py:82-202); materialized only when the caller asks

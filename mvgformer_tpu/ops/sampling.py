@@ -138,7 +138,15 @@ def deform_sample_corner(value: jnp.ndarray,
         table + one gather per (n, h), level 0 (7.7 MB) gets its own."""
     N, Len_in, H, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
-    unstacked = N * H * Lq * P >= 262144
+    # unstacked wins whenever the row count amortizes its ~40-gather fixed
+    # cost; measured at K=64/P=4 (153600 rows): unstacked 6.8 ms vs
+    # batched 16.4 ms (probe_ptop_indirection.py, v5e 2026-08-19), so the
+    # threshold sits below that shape
+    unstacked = N * H * Lq * P >= 131072
+    if globals().get("_FORCE_BATCHED", False):  # probe hook (profile_stages4)
+        unstacked = False
+    if globals().get("_FORCE_UNSTACKED", False):  # probe hook
+        unstacked = True
 
     # --- per-level sampling indices / weights (shared by both paths)
     idxs, wtss, aws = [], [], []
@@ -188,7 +196,18 @@ def deform_sample_corner(value: jnp.ndarray,
     # knob exists for re-measuring on other chips/toolchains).
     import os as _os
 
-    CAP_BYTES = int(_os.environ.get("MVG_GATHER_CAP_MB", "8")) * 2 ** 20
+    # Group cap: 16 MB puts all 3 production levels (10.7 MB bf16) in ONE
+    # table + one gather per (n, h); 8 MB splits them 2/1. Isolated probes
+    # said 16 MB wins everywhere (profile_stages4.py), but FULL-MODEL
+    # measurements disagree at P=8 (4th instance of the probe-transfer
+    # trap, PERF.md): topk64_jacobi P=8 benches 8.97 fps at 8 MB vs 8.41
+    # at 16 MB, while ptop4 (P=4, half the rows) benches 10.42 at 16 MB
+    # vs 10.03 at 8 MB (bench_detail, v5e 2026-08-19). Fewer rows per
+    # gather -> the per-gather fixed cost dominates -> one group wins;
+    # more rows -> the >10 MB operand penalty dominates -> split wins.
+    default_cap = "16" if P <= 4 else "8"
+    CAP_BYTES = int(_os.environ.get("MVG_GATHER_CAP_MB",
+                                    default_cap)) * 2 ** 20
     itemsize = jnp.dtype(value.dtype).itemsize
     level_rows = [(h + 2) * (w + 2) for (h, w) in spatial_shapes]
     groups: List[List[int]] = []
