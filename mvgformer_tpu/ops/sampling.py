@@ -143,9 +143,13 @@ def deform_sample_corner(value: jnp.ndarray,
     # batched 16.4 ms (probe_ptop_indirection.py, v5e 2026-08-19), so the
     # threshold sits below that shape
     unstacked = N * H * Lq * P >= 131072
-    if globals().get("_FORCE_BATCHED", False):  # probe hook (profile_stages4)
+    # probe knob (profile_stages4 / probe_ptop_indirection): force one
+    # path for A/B measurement; read at trace time like MVG_GATHER_CAP_MB
+    import os as _os
+    _force = _os.environ.get("MVG_FORCE_GATHER_PATH", "")
+    if _force == "batched":
         unstacked = False
-    if globals().get("_FORCE_UNSTACKED", False):  # probe hook
+    elif _force == "unstacked":
         unstacked = True
 
     # --- per-level sampling indices / weights (shared by both paths)

@@ -278,8 +278,13 @@ def window_sample(value: jnp.ndarray,
                 # (second-minor) dim to be 8-aligned: align each
                 # window's x-origin down and widen the window to Kx.
                 # rx becomes relative to the ALIGNED origin; the extra
-                # columns on the right read map padding (zeros), so
-                # semantics are unchanged (strictly more coverage).
+                # columns (left of the true origin and on the right)
+                # read real neighboring-map data for interior tiles and
+                # zero padding at the borders — either way coverage is
+                # a strict superset of the K-window, so the result only
+                # moves toward the exact sampler. Outputs/telemetry can
+                # therefore differ slightly from impl='pallas' for the
+                # same plan; _inside_mass uses (Kx, K) consistently.
                 ox_np = ((np.asarray(lp.block_tile) % lp.grid_hw[1])
                          * lp.tile + 2)
                 Kx = -(-(K + int((ox_np % 8).max())) // 8) * 8

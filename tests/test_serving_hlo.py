@@ -7,14 +7,18 @@ fusion, the view-confidence softmax, and triangulation all need every
 view). The reference has no model parallelism at all (SURVEY.md §2.8) —
 this is the rebuild's designed advantage, so make it checkable: lower
 the view-sharded eval program on the virtual CPU mesh and assert the
-optimized HLO's collective count is small and scales LINEARLY with the
-number of decoder layers (VERDICT r3 weak #6).
+optimized HLO's per-op-type collective counts EXACTLY match the measured
+structure (2 all-reduce + 3 all-gather per decoder layer, plus 1
+layer-independent all-gather) and scale linearly with the number of
+decoder layers (VERDICT r3 weak #6; pinned exactly + quick-tier per
+VERDICT r4 weak #4). An intentional partitioning change edits the
+constants below.
 """
 
 import re
 
 import jax
-import pytest
+import jax.numpy as jnp
 
 from mvgformer_tpu.config import load_config
 from mvgformer_tpu.core.train import make_eval_step
@@ -25,6 +29,14 @@ from mvgformer_tpu.parallel.mesh import replicated
 
 COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
                "collective-permute", "all-to-all")
+
+# The pinned structure (measured on the 2x2 virtual CPU mesh,
+# 2026-08-19): every decoder layer costs exactly 2 all-reduce (feature-
+# fusion mean, view-confidence softmax) + 3 all-gather (triangulation
+# needs every view's 2D points/confidences), plus one layer-independent
+# all-gather outside the layer stack. No other collective types appear.
+PER_LAYER = {"all-reduce": 2, "all-gather": 3}
+BASE = {"all-reduce": 0, "all-gather": 1}
 
 
 def _tiny_cfg(num_layers):
@@ -48,7 +60,11 @@ def _collective_count(num_layers):
     model = MVGFormer(cfg=cfg)
     mesh = make_mesh_2d(2, 2)
     batch = make_batch(cfg, batch_size=2, seed=0, num_people=2)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    # only the HLO structure matters: zeros with init's shapes skip the
+    # ~20 s jitted-init compile that kept this test in the slow tier
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), batch)
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     repl = replicated(mesh)
     params = jax.device_put(variables["params"], repl)
     batch_stats = jax.device_put(variables["batch_stats"], repl)
@@ -59,31 +75,19 @@ def _collective_count(num_layers):
     counts = {}
     for op in COLLECTIVES:
         # count op *instructions* (e.g. "all-reduce(", "all-reduce-start("),
-        # not strings inside metadata
+        # not strings inside metadata; exclude "-done" halves of async
+        # pairs so each collective is counted once regardless of whether
+        # the platform lowers it sync or async (ADVICE r4)
         counts[op] = len(re.findall(r"^\s*(?:ROOT\s+)?%?[\w.-]+ = \S+ "
-                                    + op, hlo, flags=re.M))
+                                    + op + r"(?!-done)", hlo, flags=re.M))
     return counts
 
 
-@pytest.mark.slow
-def test_view_sharded_serving_collectives_scale_linearly():
+def test_view_sharded_serving_collectives_pinned():
     c2 = _collective_count(2)
     c4 = _collective_count(4)
-    total2 = sum(c2.values())
-    total4 = sum(c4.values())
-    # the program must actually communicate across the view axis
-    assert total2 > 0, c2
-    # linear growth in decoder layers: adding 2 layers adds an equal
-    # increment per layer, no superlinear blowup
-    delta = total4 - total2
-    assert delta >= 0, (c2, c4)
-    assert delta % 2 == 0, (c2, c4)
-    per_layer = delta // 2
-    # the claimed story: a bounded handful of cross-view collectives per
-    # layer (feature-fusion mean, view-confidence softmax, triangulation,
-    # + partitioner bookkeeping), not a blowup
-    assert per_layer <= 8, (per_layer, c2, c4)
-    base = total2 - 2 * per_layer
-    assert base >= 0, (per_layer, c2, c4)
-    print(f"per-layer collectives: {per_layer}, layer-independent: {base}, "
-          f"L=2 {c2}, L=4 {c4}")
+    for op in COLLECTIVES:
+        exp2 = BASE.get(op, 0) + 2 * PER_LAYER.get(op, 0)
+        exp4 = BASE.get(op, 0) + 4 * PER_LAYER.get(op, 0)
+        assert c2[op] == exp2, (op, c2, "expected", exp2)
+        assert c4[op] == exp4, (op, c4, "expected", exp4)

@@ -105,6 +105,7 @@ def main():
     t_start = time.time()
     last_saved = start_epoch - 1
     last_done = start_epoch - 1
+    state_done = state  # end-of-last-completed-epoch snapshot
     try:
         for epoch in range(start_epoch, cfg.TRAIN.END_EPOCH):
             t0 = time.time()
@@ -121,6 +122,7 @@ def main():
             with open(log_path, "a") as f:
                 f.write(json.dumps(line) + "\n")
             last_done = epoch
+            state_done = state
             if (epoch + 1) % 20 == 0 or epoch + 1 == cfg.TRAIN.END_EPOCH:
                 save_checkpoint(ckpt_dir, state, epoch,
                                 next_epoch=epoch + 1)
@@ -129,9 +131,13 @@ def main():
     finally:
         # Always persist the last completed epoch (VERDICT r3 item 9):
         # round-3's run was interrupted at epoch 70 and only the
-        # epoch-59 cadence checkpoint survived.
+        # epoch-59 cadence checkpoint survived. Save the end-of-epoch
+        # SNAPSHOT, not `state` — on a mid-epoch interrupt `state`
+        # already holds partial epoch-(last_done+1) updates, and saving
+        # it labeled last_done would make --resume replay that epoch on
+        # partially-advanced params (silent trajectory drift).
         if last_done > last_saved:
-            save_checkpoint(ckpt_dir, state, last_done,
+            save_checkpoint(ckpt_dir, state_done, last_done,
                             next_epoch=last_done + 1)
             print(f"checkpointed epoch {last_done} (final reached)",
                   flush=True)

@@ -7,9 +7,12 @@ MVGFormer forward (fixed init seed, fixed synthetic batch, f32 on the
 CPU platform — the same platform the test tier runs on) for a
 decision-relevant config:
 
-  dense_linalg — the reference-parity path (all queries, SVD DLT)
-  topk_jacobi  — the production inference path (top-K compaction +
-                 scalarized Jacobi solver)
+  dense_linalg      — the reference-parity path (all queries, SVD DLT)
+  topk_jacobi       — the production inference path (top-K compaction +
+                      scalarized Jacobi solver)
+  topk_jacobi_ptop4 — the shipping headline semantics (adds point-top-m
+                      sparsification P=8 -> m=4 with the one-hot-einsum
+                      selection; VERDICT r4 weak #5)
 
 Tolerances in tests/test_golden.py come from PARITY.md's noise-floor
 analysis: LSB-level reduction-order changes move toy-shape 3D outputs
@@ -46,20 +49,23 @@ GOLDEN_DIR = os.path.join(REPO, "tests", "golden")
 CONFIGS = {
     "dense_linalg": dict(topk=None, solver="linalg"),
     "topk_jacobi": dict(topk=8, solver="jacobi"),
+    # production P=8 -> m=4, same ratio+code path as the flagship headline
+    "topk_jacobi_ptop4": dict(topk=8, solver="jacobi", n_points=8, ptop=4),
 }
 
 
-def toy_cfg(topk, solver):
+def toy_cfg(topk, solver, n_points=2, ptop=None):
     cfg = load_config()
     cfg.NETWORK.IMAGE_SIZE = [96, 64]
     cfg.DECODER.d_model = 32
     cfg.DECODER.dim_feedforward = 64
     cfg.DECODER.nhead = 4
-    cfg.DECODER.dec_n_points = 2
+    cfg.DECODER.dec_n_points = n_points
     cfg.DECODER.num_decoder_layers = 2
     cfg.DECODER.num_instance = 16
     cfg.DECODER.inference_topk_queries = topk
     cfg.DECODER.triangulation_method = solver
+    cfg.DECODER.inference_point_topm = ptop
     cfg.POSE_RESNET.NUM_DECONV_FILTERS = [32, 32, 32]
     cfg.DATASET.CAMERA_NUM = 3
     cfg.MULTI_PERSON.MAX_PEOPLE_NUM = 4
@@ -67,8 +73,8 @@ def toy_cfg(topk, solver):
     return cfg
 
 
-def forward(name, topk, solver):
-    cfg = toy_cfg(topk, solver)
+def forward(name, **kw):
+    cfg = toy_cfg(**kw)
     model = MVGFormer(cfg=cfg)
     batch = make_batch(cfg, batch_size=2, seed=7, num_people=2)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)

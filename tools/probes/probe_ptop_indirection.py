@@ -105,12 +105,11 @@ def main():
     real = S.deform_sample_corner
 
     def forced_unstacked(v, sh, l, a):
-        import mvgformer_tpu.ops.sampling as SS
-        SS._FORCE_UNSTACKED = True
+        os.environ["MVG_FORCE_GATHER_PATH"] = "unstacked"
         try:
             return real(v, sh, l, a)
         finally:
-            SS._FORCE_UNSTACKED = False
+            os.environ.pop("MVG_FORCE_GATHER_PATH", None)
 
     chained_time("deform topk64 P=4 FORCED unstacked",
                  lambda v, l, a: forced_unstacked(v, SHAPES, l, a),

@@ -132,23 +132,16 @@ def main():
     real_thresh = None
 
     def corner_batched(v, l, a):
-        # monkeypatch-free: call the batched branch by temporarily raising
-        # the threshold via a copied function is messy; instead call the
-        # internal branch directly by inlining the public API with a huge
-        # threshold. We re-enter deform_sample_corner with a wrapper that
-        # rebinds the constant through module state.
-        S._FORCE_BATCHED = True
+        # force the batched branch via the sampling.py env knob (read at
+        # trace time, like MVG_GATHER_CAP_MB)
+        os.environ["MVG_FORCE_GATHER_PATH"] = "batched"
         try:
             return S.deform_sample_corner(v, SHAPES, l, a)
         finally:
-            S._FORCE_BATCHED = False
+            os.environ.pop("MVG_FORCE_GATHER_PATH", None)
 
-    # patch sampling.py decision point if the hook exists; else skip
-    if hasattr(S, "_FORCE_BATCHED") or True:
-        # add the hook dynamically (sampling.py reads it via getattr)
-        S._FORCE_BATCHED = False
-        chained_time("deform topk64 BATCHED corner tables",
-                     corner_batched, value, loc_c, aw_c)
+    chained_time("deform topk64 BATCHED corner tables",
+                 corner_batched, value, loc_c, aw_c)
 
     # variant B: simple 4-gather path (no corner tables at all)
     chained_time("deform topk64 SIMPLE 4-gather",
