@@ -153,7 +153,7 @@ def deform_sample_corner(value: jnp.ndarray,
         unstacked = True
 
     # --- per-level sampling indices / weights (shared by both paths)
-    idxs, wtss, aws = [], [], []
+    idxs, wtss, aws, yxs = [], [], [], []
     for lvl, (h, w) in enumerate(spatial_shapes):
         hp, wp = h + 2, w + 2
         loc = sampling_locations[:, :, :, lvl]  # (N, Lq, H, P, 2)
@@ -171,6 +171,7 @@ def deform_sample_corner(value: jnp.ndarray,
         touch = ((x > -1.0) & (x < w) & (y > -1.0) & (y < h))
         xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, wp - 2)
         yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, hp - 2)
+        yxs.append((yi, xi))  # kept for padded-stride table layouts
         idxs.append(yi * wp + xi)  # (N, H, Lq*P)
         wts = jnp.stack([
             (1 - lx) * (1 - ly), lx * (1 - ly),
@@ -209,11 +210,44 @@ def deform_sample_corner(value: jnp.ndarray,
     # vs 10.03 at 8 MB (bench_detail, v5e 2026-08-19). Fewer rows per
     # gather -> the per-gather fixed cost dominates -> one group wins;
     # more rows -> the >10 MB operand penalty dominates -> split wins.
-    default_cap = "16" if P <= 4 else "8"
+    #
+    # CRASH GUARD (round 5, PERF.md "measurement traps"): the full-model
+    # K=128+ptop4 program with single-group tables at its compacted
+    # layers (Lq=1920, P=4) reproducibly hard-faults the TPU worker
+    # (solo-reproduced 2x 2026-08-19); the same program at cap=8 runs
+    # clean (9.125 fps), and the sampler ALONE at the exact crashing
+    # shape runs clean either way (probe_ptop128_crash.py) — a
+    # full-model-context-only toolchain fault, same class as the
+    # round-3 chunk-scan crash. The single-group path is therefore
+    # gated to the measured-good row-count domain: the headline's
+    # compacted layers (N*H*Lq*P = 153600 at K=64) and below, where the
+    # per-gather fixed cost is what single-grouping wins back anyway.
+    rows_total = N * H * Lq * P
+    default_cap = "16" if (P <= 4 and rows_total <= 153600) else "8"
     CAP_BYTES = int(_os.environ.get("MVG_GATHER_CAP_MB",
                                     default_cap)) * 2 ** 20
     itemsize = jnp.dtype(value.dtype).itemsize
-    level_rows = [(h + 2) * (w + 2) for (h, w) in spatial_shapes]
+
+    # table build impl (MVG_TABLE_IMPL=xla|pallas, trace-time like the
+    # cap knob): 'pallas' builds each level's padded corner table in one
+    # static-DMA Mosaic kernel (ops/table_pallas.py) instead of 40 pad/
+    # shift/concat XLA ops per level; rows are then indexed with the
+    # kernel's lane-aligned stride. Gather structure is unchanged: the
+    # per-(view, head) group tables are sliced out of the kernel output
+    # behind an optimization_barrier so the gather still sees small
+    # standalone operands.
+    table_impl = _os.environ.get("MVG_TABLE_IMPL", "xla")
+    if table_impl == "pallas":
+        from mvgformer_tpu.ops.table_pallas import padded_width
+
+        level_strides = [padded_width(w) for (_, w) in spatial_shapes]
+        level_rows = [(h + 2) * level_strides[l]
+                      for l, (h, w) in enumerate(spatial_shapes)]
+        lvl_idx = [yi * level_strides[l] + xi
+                   for l, (yi, xi) in enumerate(yxs)]
+    else:
+        level_rows = [(h + 2) * (w + 2) for (h, w) in spatial_shapes]
+        lvl_idx = idxs
     groups: List[List[int]] = []
     cur: List[int] = []
     cur_bytes = 0
@@ -229,12 +263,19 @@ def deform_sample_corner(value: jnp.ndarray,
     # (N, H, Len_in, D) view-head-major once; per-level slices reshape to
     # (N, H, h, w, D) for the per-(n,h) table builds
     value_hd = jnp.swapaxes(value, 1, 2)
-    v_lvls = []
-    start = 0
-    for (h, w) in spatial_shapes:
-        v_lvls.append(jax.lax.dynamic_slice_in_dim(
-            value_hd, start, h * w, axis=2).reshape(N, H, h, w, D))
-        start += h * w
+    if table_impl == "pallas":
+        from mvgformer_tpu.ops.table_pallas import \
+            build_corner_tables_pallas
+
+        ktables, _ = build_corner_tables_pallas(value_hd, spatial_shapes)
+        v_lvls = None
+    else:
+        v_lvls = []
+        start = 0
+        for (h, w) in spatial_shapes:
+            v_lvls.append(jax.lax.dynamic_slice_in_dim(
+                value_hd, start, h * w, axis=2).reshape(N, H, h, w, D))
+            start += h * w
 
     # pre-concatenate per-group indices/weights (row offsets for levels
     # after the first in a group)
@@ -243,7 +284,7 @@ def deform_sample_corner(value: jnp.ndarray,
         off = 0
         parts = []
         for lvl in grp:
-            parts.append(idxs[lvl] + off)
+            parts.append(lvl_idx[lvl] + off)
             off += level_rows[lvl]
         g_idx.append(jnp.concatenate(parts, axis=-1))  # (N,H,G*LqP)
         g_wts.append(jnp.concatenate([wtss[lvl] for lvl in grp], axis=2))
@@ -258,9 +299,14 @@ def deform_sample_corner(value: jnp.ndarray,
         for hh in range(H):
             acc = None
             for gi, grp in enumerate(groups):
-                tbl = jnp.concatenate(
-                    [_corner_table_single(v_lvls[lvl][n, hh])
-                     for lvl in grp], axis=0)
+                if table_impl == "pallas":
+                    parts = [ktables[lvl][n * H + hh] for lvl in grp]
+                    tbl = (jnp.concatenate(parts, axis=0)
+                           if len(parts) > 1 else parts[0])
+                else:
+                    tbl = jnp.concatenate(
+                        [_corner_table_single(v_lvls[lvl][n, hh])
+                         for lvl in grp], axis=0)
                 tbl = jax.lax.optimization_barrier(tbl)
                 G = len(grp)
                 g = tbl[g_idx[gi][n, hh]]  # (G*LqP, 4D)

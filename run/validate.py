@@ -24,6 +24,10 @@ def parse_args():
     parser.add_argument("--cfg", required=True)
     parser.add_argument("--model_path", default=None,
                         help="orbax checkpoint dir or reference .pth.tar")
+    parser.add_argument("--model_step", type=int, default=None,
+                        help="specific checkpoint step (orbax dirs only; "
+                        "default = latest). Used by the AP-ablation "
+                        "multi-checkpoint noise-band measurement.")
     parser.add_argument("--save_preds", default=None,
                         help="save raw predictions to this .npy")
     args, overrides = parser.parse_known_args()
@@ -88,9 +92,11 @@ def main():
             from mvgformer_tpu.utils.checkpoint import \
                 load_params_checkpoint
 
-            restored = load_params_checkpoint(args.model_path)
+            restored = load_params_checkpoint(args.model_path,
+                                              step=args.model_step)
             if restored is None:
-                raise FileNotFoundError(args.model_path)
+                raise FileNotFoundError(
+                    f"{args.model_path} (step={args.model_step})")
             variables = restored[0]
             logger.info("restored %s (next epoch %d)", args.model_path,
                         restored[1])

@@ -238,6 +238,40 @@ class TestUnstackedProductionPath:
             jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w)))
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
+    def test_pallas_table_impl_matches(self, rng, monkeypatch):
+        """MVG_TABLE_IMPL=pallas (padded-stride kernel tables,
+        ops/table_pallas.py) must be bit-compatible with the XLA-table
+        production path — the tables hold identical rows, only the row
+        stride differs."""
+        from mvgformer_tpu.ops.sampling import deform_sample_corner
+
+        value, locs, w = _random_inputs(rng, N=2, Lq=1024, H=4, D=8, P=8)
+        args = (jnp.asarray(value), SHAPES, jnp.asarray(locs),
+                jnp.asarray(w))
+        a = np.asarray(deform_sample_corner(*args))
+        monkeypatch.setenv("MVG_TABLE_IMPL", "pallas")
+        b = np.asarray(deform_sample_corner(*args))
+        np.testing.assert_array_equal(a, b)
+
+    def test_pallas_table_impl_grad(self, rng, monkeypatch):
+        """Gradients flow through the kernel build's custom VJP and
+        match the XLA-table path."""
+        from mvgformer_tpu.ops.sampling import deform_sample_corner
+
+        value, locs, w = _random_inputs(rng, N=2, Lq=1024, H=4, D=8, P=8)
+
+        def loss(v, l, a):
+            return jnp.sum(deform_sample_corner(v, SHAPES, l, a) ** 2)
+
+        ga = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+        monkeypatch.setenv("MVG_TABLE_IMPL", "pallas")
+        gb = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+        for x, y in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-5)
+
 
 class TestPointTopM:
     """DECODER.inference_point_topm: per-(query, head, level) top-m point
