@@ -68,7 +68,8 @@ def run_config(name, batch_size=1, topk=None, solver="linalg",
     return fps
 
 
-def run_train_config(name, batch_size=1, solver="linalg", iters=5):
+def run_train_config(name, batch_size=1, solver="linalg", iters=5,
+                     sample_chunks=None):
     """Training-step throughput (steps/s/chip) at the flagship training
     config: gt_match dense path, all decoder layers, criterion, backward,
     clipped Adam. Chained via lax.scan with the TrainState as carry (the
@@ -87,6 +88,7 @@ def run_train_config(name, batch_size=1, solver="linalg", iters=5):
     cfg.NETWORK.IMAGE_SIZE = [960, 512]
     cfg.DECODER.gt_match = True
     cfg.DECODER.triangulation_method = solver
+    cfg.TRAIN.SAMPLE_CHUNKS = sample_chunks
 
     model = MVGFormer(cfg=cfg)
     batch = make_batch(cfg, batch_size=batch_size, seed=0, num_people=3)
@@ -146,6 +148,17 @@ def main(only=None):
             "train_gtmatch_jacobi_b1", solver="jacobi")),
         ("train_gtmatch_eigh_b1", lambda: run_train_config(
             "train_gtmatch_eigh_b1", solver="eigh")),
+        # TRAIN.SAMPLE_CHUNKS: query-chunked remat gather divides the
+        # backward's gathered-rows HBM peak (the batch-2 blocker,
+        # PERF.md "training wall-clock budget") by `chunks`
+        ("train_gtmatch_jacobi_b1_chunk8", lambda: run_train_config(
+            "train_gtmatch_jacobi_b1_chunk8", solver="jacobi",
+            sample_chunks=8)),
+        ("train_gtmatch_jacobi_b2_chunk8", lambda: run_train_config(
+            "train_gtmatch_jacobi_b2_chunk8", batch_size=2,
+            solver="jacobi", sample_chunks=8)),
+        ("train_gtmatch_jacobi_b2", lambda: run_train_config(
+            "train_gtmatch_jacobi_b2", batch_size=2, solver="jacobi")),
     ]
     # semantics-changing clamped-offset windows (AP cost measured by
     # tools/ap_ablation.py; PERF.md "clamped-offset windows")

@@ -240,6 +240,14 @@ class TrainConfig:
     # default off (the reference never trains from scratch, its
     # pretrained backbone keeps triangulations well-conditioned)
     TRI_GRAD_CLIP: Optional[float] = None
+    # query-chunked rematerialized deformable gather in the training
+    # forward (ops/sampling.py query_chunks): the backward re-gathers
+    # one chunk at a time instead of materializing the full
+    # N*H*Lq*P-row corner buffer (~3.8 GB/layer at flagship dense
+    # shapes, the HBM occupant that blocks batch-2; PERF.md "training
+    # wall-clock budget"). 0/None = off (reference-equivalent single
+    # gather). Must divide Q*J; no numerics change, only scheduling.
+    SAMPLE_CHUNKS: Optional[int] = None
 
 
 @dataclass

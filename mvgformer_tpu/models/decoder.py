@@ -123,6 +123,11 @@ class DQDecoderLayer(nn.Module):
     # triangulation's 2D/confidence inputs (training only; see
     # geometry/triangulate.py clip_cotangent)
     tri_grad_clip: Optional[float] = None
+    # TRAIN.SAMPLE_CHUNKS: query-chunked rematerialized deformable
+    # gather in the TRAINING forward (ops/sampling.py query_chunks) —
+    # divides the backward's gathered-rows HBM peak by `chunks`.
+    # Inference is never chunked.
+    train_sample_chunks: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     def project_ref_points(self, reference_points: jnp.ndarray,
@@ -256,7 +261,8 @@ class DQDecoderLayer(nn.Module):
                         name="proj_attn")(
             q_fold, ref_fold, src_views, spatial_shapes,
             window_plan=window_plan, offset_clamp_px=offset_clamp,
-            point_topm=point_topm)
+            point_topm=point_topm,
+            sample_chunks=(self.train_sample_chunks if train else None))
         attn = attn.reshape(V, B, Nq, C)
         # zero features whose projection fell outside the image (:585-588)
         attn = attn * jnp.swapaxes(bounds, 0, 1)[..., None].astype(attn.dtype)

@@ -173,6 +173,7 @@ class MVGFormer(nn.Module):
                 bayesian_update=dec.bayesian_update,
                 pose_embed_layers=dec.pose_embed_layer,
                 tri_grad_clip=self.cfg.TRAIN.TRI_GRAD_CLIP,
+                train_sample_chunks=self.cfg.TRAIN.SAMPLE_CHUNKS,
                 dtype=dtype,
             ),
             name="decoder",

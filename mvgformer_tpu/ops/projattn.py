@@ -67,7 +67,8 @@ class ProjAttn(nn.Module):
                  camera_ray_embeds: Optional[jnp.ndarray] = None,
                  window_plan=None,
                  offset_clamp_px: Optional[float] = None,
-                 point_topm: Optional[int] = None) -> jnp.ndarray:
+                 point_topm: Optional[int] = None,
+                 sample_chunks: Optional[int] = None) -> jnp.ndarray:
         """
         Args:
             query:            (N, Lq, C) per-view query features (already
@@ -201,12 +202,20 @@ class ProjAttn(nn.Module):
                                      window_plan)
             self.sow("intermediates", "escaped_mass", esc)
         else:
-            sampler = (deform_sample_corner
-                       if self.sampling_impl == "corner"
-                       else deform_sample)
-            out = sampler(value, spatial_shapes,
-                          locations.astype(jnp.float32),
-                          weights.astype(value.dtype))
+            if self.sampling_impl == "corner":
+                # sample_chunks (TRAIN.SAMPLE_CHUNKS): query-chunked
+                # rematerialized gather — divides the training
+                # backward's gathered-rows residual peak by `chunks`
+                # (see ops/sampling.py); inference callers pass None
+                out = deform_sample_corner(
+                    value, spatial_shapes,
+                    locations.astype(jnp.float32),
+                    weights.astype(value.dtype),
+                    query_chunks=sample_chunks)
+            else:
+                out = deform_sample(value, spatial_shapes,
+                                    locations.astype(jnp.float32),
+                                    weights.astype(value.dtype))
         out = nn.Dense(self.d_model, kernel_init=xavier, name="output_proj",
                        dtype=self.dtype)(out)
         return out

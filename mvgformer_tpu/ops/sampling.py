@@ -18,7 +18,7 @@ unrolled into one fused XLA program.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -117,7 +117,8 @@ def _corner_table_single(v: jnp.ndarray) -> jnp.ndarray:
 def deform_sample_corner(value: jnp.ndarray,
                          spatial_shapes: Sequence[Tuple[int, int]],
                          sampling_locations: jnp.ndarray,
-                         attention_weights: jnp.ndarray) -> jnp.ndarray:
+                         attention_weights: jnp.ndarray,
+                         query_chunks: Optional[int] = None) -> jnp.ndarray:
     """Fast exact deformable sampling via 4-corner tables.
 
     Same contract as deform_sample; one (1, 4D) row-gather per sample
@@ -294,10 +295,71 @@ def deform_sample_corner(value: jnp.ndarray,
     # clamp+masked gathers wins 2x in an isolated microbenchmark but is
     # ~15% SLOWER in the full op's context (probe_chunks vs in-context
     # run, 2026-08-16) — kept single-table per group.
+    # query-chunked gather (TRAIN.SAMPLE_CHUNKS): the training backward
+    # must materialize the gathered corner rows as residuals for the
+    # location/weight VJPs — at flagship dense shapes that is
+    # N*H*Lq*P*3 rows x 4D bf16 ~= 3.8 GB per layer, the HBM occupant
+    # that blocks batch-2 (PERF.md "training wall-clock budget"). A
+    # lax.scan over query chunks with jax.checkpoint on the body keeps
+    # tables + per-chunk indices as the only residuals; the backward
+    # re-gathers one chunk at a time, dividing that peak by `chunks`.
+    # Inference passes None (single fused gather, unchanged).
+    chunked = (query_chunks is not None and query_chunks > 1
+               and Lq % query_chunks == 0)
+
+    def pair_output(n, hh, tbls):
+        if not chunked:
+            acc = None
+            for gi, grp in enumerate(groups):
+                G = len(grp)
+                g = tbls[gi][g_idx[gi][n, hh]]  # (G*LqP, 4D)
+                g = g.reshape(G * Lq * P, 4, D)
+                sampled = jnp.sum(
+                    g * g_wts[gi][n, hh][..., None].astype(g.dtype),
+                    axis=1)
+                contrib = jnp.sum(
+                    (sampled * g_aw[gi][n, hh][..., None]).reshape(
+                        G, Lq, P, D), axis=(0, 2))
+                acc = contrib if acc is None else acc + contrib
+            return acc
+
+        nc = query_chunks
+        Lqc = Lq // nc
+        # chunk-major per-group views: (nc, G, Lqc*P[, 4])
+        xs = []
+        for gi, grp in enumerate(groups):
+            G = len(grp)
+            ci = jnp.swapaxes(
+                g_idx[gi][n, hh].reshape(G, nc, Lqc * P), 0, 1)
+            cw = jnp.swapaxes(
+                g_wts[gi][n, hh].reshape(G, nc, Lqc * P, 4), 0, 1)
+            ca = jnp.swapaxes(
+                g_aw[gi][n, hh].reshape(G, nc, Lqc * P), 0, 1)
+            xs.append((ci, cw, ca))
+
+        def body(carry, chunk):
+            acc = None
+            for gi, grp in enumerate(groups):
+                G = len(grp)
+                ci, cw, ca = chunk[gi]
+                g = tbls[gi][ci.reshape(-1)]
+                g = g.reshape(G * Lqc * P, 4, D)
+                sampled = jnp.sum(
+                    g * cw.reshape(G * Lqc * P, 4)[..., None].astype(
+                        g.dtype), axis=1)
+                contrib = jnp.sum(
+                    (sampled * ca.reshape(-1)[..., None]).reshape(
+                        G, Lqc, P, D), axis=(0, 2))
+                acc = contrib if acc is None else acc + contrib
+            return carry, acc
+
+        _, outs = jax.lax.scan(jax.checkpoint(body), 0.0, tuple(xs))
+        return outs.reshape(Lq, D)
+
     houts = []
     for n in range(N):
         for hh in range(H):
-            acc = None
+            tbls = []
             for gi, grp in enumerate(groups):
                 if table_impl == "pallas":
                     parts = [ktables[lvl][n * H + hh] for lvl in grp]
@@ -307,18 +369,8 @@ def deform_sample_corner(value: jnp.ndarray,
                     tbl = jnp.concatenate(
                         [_corner_table_single(v_lvls[lvl][n, hh])
                          for lvl in grp], axis=0)
-                tbl = jax.lax.optimization_barrier(tbl)
-                G = len(grp)
-                g = tbl[g_idx[gi][n, hh]]  # (G*LqP, 4D)
-                g = g.reshape(G * Lq * P, 4, D)
-                sampled = jnp.sum(
-                    g * g_wts[gi][n, hh][..., None].astype(g.dtype),
-                    axis=1)
-                contrib = jnp.sum(
-                    (sampled * g_aw[gi][n, hh][..., None]).reshape(
-                        G, Lq, P, D), axis=(0, 2))
-                acc = contrib if acc is None else acc + contrib
-            houts.append(acc)
+                tbls.append(jax.lax.optimization_barrier(tbl))
+            houts.append(pair_output(n, hh, tbls))
     out = jnp.stack(houts).reshape(N, H, Lq, D)
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(N, Lq, H * D)
 

@@ -21,6 +21,16 @@ The extra columns hold zeros and are never indexed.
 Forward-only Pallas; the backward (the build is linear: its transpose
 is 4 shifted slice-adds of the cotangent) is plain XLA via custom_vjp,
 so the training path can use the kernel too.
+
+STATUS (2026-08-19 toolchain): interpret-mode correct
+(tests/test_table_pallas.py) but real-TPU Mosaic REJECTS every lowering
+tried — this one and four alternates (full-block concat stores, the
+proven window_dma PrefetchScalarGridSpec recipe, bare DMA+copy
+micro-forms: HTTP 500; the no-DMA block-pipeline form: compiler hang).
+Suspected blocker: the 32-element sub-lane-width minormost dim of the
+per-head value layout (tools/probes/probe_table_kernel_forms.py;
+PERF.md round-5 section). MVG_TABLE_IMPL stays 'xla' in production
+(1.8 ms/layer, not the wall); re-probe on toolchain updates.
 """
 
 from __future__ import annotations

@@ -253,6 +253,31 @@ class TestUnstackedProductionPath:
         b = np.asarray(deform_sample_corner(*args))
         np.testing.assert_array_equal(a, b)
 
+    def test_query_chunked_matches(self, rng):
+        """query_chunks (TRAIN.SAMPLE_CHUNKS) splits only the query
+        axis; per-query reductions are untouched, so the forward is
+        bit-exact and gradients match the single-gather path."""
+        from mvgformer_tpu.ops.sampling import deform_sample_corner
+
+        value, locs, w = _random_inputs(rng, N=2, Lq=1024, H=4, D=8, P=8)
+        args = (jnp.asarray(value), SHAPES, jnp.asarray(locs),
+                jnp.asarray(w))
+        a = np.asarray(deform_sample_corner(*args))
+        b = np.asarray(deform_sample_corner(*args, query_chunks=8))
+        np.testing.assert_array_equal(a, b)
+
+        def loss(chunks, v, l, aw):
+            return jnp.sum(deform_sample_corner(
+                v, SHAPES, l, aw, query_chunks=chunks) ** 2)
+
+        ga = jax.grad(loss, argnums=(1, 2, 3))(
+            None, jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+        gb = jax.grad(loss, argnums=(1, 2, 3))(
+            8, jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+        for x, y in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-5)
+
     def test_pallas_table_impl_grad(self, rng, monkeypatch):
         """Gradients flow through the kernel build's custom VJP and
         match the XLA-table path."""
