@@ -307,6 +307,41 @@ def deform_sample_corner(value: jnp.ndarray,
     chunked = (query_chunks is not None and query_chunks > 1
                and Lq % query_chunks == 0)
 
+    # sorted-window one-hot MXU gather (MVG_SAMPLER_IMPL=onehot,
+    # ops/onehot_gather.py — VERDICT r4 item 1): only dense-layer-sized
+    # row counts qualify (the trained model's sample-sorted windows are
+    # one-hot viable at dense L1 but not at the compacted layers,
+    # PERF.md "exact-path sorted-window gather"); exact for all inputs
+    # via escape repair + cond fallback inside deform_gather_reduce.
+    if (_os.environ.get("MVG_SAMPLER_IMPL", "") == "onehot"
+            and not chunked and Lq * P >= 32768):
+        from mvgformer_tpu.ops.onehot_gather import deform_gather_reduce
+
+        acc = None
+        for gi, grp in enumerate(groups):
+            G = len(grp)
+            if table_impl == "pallas":
+                pair_tbls = [
+                    jnp.concatenate([ktables[lvl][n * H + hh]
+                                     for lvl in grp], axis=0)
+                    if G > 1 else ktables[grp[0]][n * H + hh]
+                    for n in range(N) for hh in range(H)]
+            else:
+                pair_tbls = [
+                    jnp.concatenate([_corner_table_single(
+                        v_lvls[lvl][n, hh]) for lvl in grp], axis=0)
+                    for n in range(N) for hh in range(H)]
+            tbl_stk = jax.lax.optimization_barrier(jnp.stack(pair_tbls))
+            idx_g = g_idx[gi].reshape(N * H, G * Lq * P)
+            w4 = (g_wts[gi] * g_aw[gi][..., None]).reshape(
+                N * H, G * Lq * P, 4)
+            red = deform_gather_reduce(tbl_stk, idx_g,
+                                       w4.astype(tbl_stk.dtype))
+            contrib = jnp.sum(
+                red.reshape(N, H, G, Lq, P, D), axis=(2, 4))
+            acc = contrib if acc is None else acc + contrib
+        return jnp.transpose(acc, (0, 2, 1, 3)).reshape(N, Lq, H * D)
+
     def pair_output(n, hh, tbls):
         if not chunked:
             acc = None

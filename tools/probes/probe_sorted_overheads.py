@@ -117,6 +117,26 @@ def main():
             lambda p, s: jax.lax.sort_key_val(p, s, dimension=-1),
             perm, iota)
 
+    # --- E. escape compaction: cumsum positions + bounded scatter of
+    # escaped sample ids into a static E_cap buffer (exactness repair:
+    # ~1.3% of samples escape W=1024 windows, probe_real_index_spans)
+    E_CAP = 4096
+
+    def compact(e_f32, sidx):
+        esc = e_f32 > 0.987  # ~1.3%
+        pos = jnp.cumsum(esc.astype(jnp.int32), axis=-1) - 1
+        pos = jnp.where(esc, jnp.minimum(pos, E_CAP - 1), E_CAP)
+
+        def one(p, s):
+            buf = jnp.full((E_CAP + 1,), 0, jnp.int32)
+            return buf.at[p].set(s, mode="drop")[:E_CAP]
+
+        return jax.vmap(one)(pos, sidx)
+
+    e_f32 = jax.random.uniform(k1, (NH, S), jnp.float32)
+    chained("E1 escape compaction cumsum+scatter (40,61440)->4096",
+            compact, e_f32, idx)
+
     # --- reference: the XLA gather this all must beat, same shapes
     tbl = jax.random.normal(rng, (31460, 128), jnp.bfloat16)
     chained("R1 plain gather 1 pair (61440 rows from 7.7MB)",
