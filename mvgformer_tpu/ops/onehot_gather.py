@@ -58,11 +58,18 @@ E_CAP = 4096  # escape-repair capacity per (view*head) pair
 
 def _onehot_kernel(base_ref, local_ref, tbl_ref, out_ref, win, sem):
     """One grid step = one (pair, block): DMA the pair's W-row window
-    into VMEM, one-hot select BS rows on the MXU."""
+    into VMEM, one-hot select BS rows on the MXU.
+
+    base_ref carries the window origin PRE-DIVIDED by 8: Mosaic requires
+    DMA slice offsets in the sublane (second-minor) dim to be provably
+    tile-aligned ("tile index ... divisible by the tiling (8)"); a
+    dynamic origin fails the proof even when the values are aligned, so
+    the caller divides and the kernel multiplies back (same recipe as
+    ops/window_dma.py)."""
     pair = pl.program_id(0)
     blk = pl.program_id(1)
     dma = pltpu.make_async_copy(
-        tbl_ref.at[pair, pl.ds(base_ref[pair, blk], W), :], win, sem)
+        tbl_ref.at[pair, pl.ds(base_ref[pair, blk] * 8, W), :], win, sem)
     dma.start()
     dma.wait()
     local = local_ref[...].reshape(BS, 1)  # int32
@@ -76,9 +83,9 @@ def _onehot_kernel(base_ref, local_ref, tbl_ref, out_ref, win, sem):
 def _onehot_select(tables: jnp.ndarray, base: jnp.ndarray,
                    local: jnp.ndarray) -> jnp.ndarray:
     """(NH, nblk) grid pallas call: tables (NH, R, C) bf16 in HBM,
-    base (NH, nblk) int32 window origins (8-aligned, <= R-W),
-    local (NH, nblk*BS, 1) int32 in [0, W). Returns the selected rows
-    (NH, nblk*BS, C)."""
+    base (NH, nblk) int32 window origins PRE-DIVIDED by 8 (true origin
+    = 8*base, 8-aligned, <= R-W), local (NH, nblk*BS, 1) int32 in
+    [0, W). Returns the selected rows (NH, nblk*BS, C)."""
     NH, R, C = tables.shape
     nblk = base.shape[1]
     S = nblk * BS
@@ -116,14 +123,14 @@ def _reference_reduce(tables: jnp.ndarray, idx: jnp.ndarray,
 
 def _sorted_path(tables: jnp.ndarray, idx: jnp.ndarray,
                  w4: jnp.ndarray, sidx: jnp.ndarray, perm: jnp.ndarray,
-                 base: jnp.ndarray, local: jnp.ndarray,
+                 base8: jnp.ndarray, local: jnp.ndarray,
                  esc: jnp.ndarray) -> jnp.ndarray:
     NH, R, C = tables.shape
     S = idx.shape[1]
     D = C // 4
 
     local_c = jnp.minimum(local, W - 1)
-    rows_sorted = _onehot_select(tables, base, local_c[..., None])
+    rows_sorted = _onehot_select(tables, base8, local_c[..., None])
 
     # escape repair: compact escaped sorted-positions into E_CAP slots,
     # re-gather those rows exactly, scatter them back
@@ -180,15 +187,24 @@ def deform_gather_reduce(tables: jnp.ndarray, idx: jnp.ndarray,
                             (NH, S))
     sidx, perm = jax.lax.sort_key_val(idx, iota, dimension=-1)
     first = sidx.reshape(NH, nblk, BS)[:, :, 0]
-    base = jnp.minimum((first // 8) * 8,
-                       jnp.int32(R - W)).astype(jnp.int32)
+    # window origins in units of 8 rows (the kernel multiplies back so
+    # Mosaic can prove the DMA offset's sublane-tile alignment); the
+    # clamp must stay in units of 8 too or the origin un-aligns
+    base8 = jnp.minimum(first // 8, jnp.int32((R - W) // 8)).astype(
+        jnp.int32)
+    base = base8 * 8
     local = sidx - jnp.repeat(base, BS, axis=1)
     esc = local >= W
     n_esc = jnp.max(jnp.sum(esc, axis=-1))
+    if os.environ.get("MVG_ONEHOT_DEBUG", "") == "1":
+        jax.debug.print(
+            "onehot_gather NH={nh} R={r} S={s}: max n_esc/pair = {n} "
+            "(sorted path iff <= E_CAP={cap})",
+            nh=NH, r=R, s=S, n=n_esc, cap=E_CAP)
 
     return jax.lax.cond(
         n_esc <= E_CAP,
-        lambda: _sorted_path(tables, idx, w4, sidx, perm, base, local,
+        lambda: _sorted_path(tables, idx, w4, sidx, perm, base8, local,
                              esc),
         lambda: _reference_reduce(tables, idx, w4))
 
