@@ -97,8 +97,10 @@ def main():
                                     jnp.bfloat16)
             for impl in ("", "onehot"):
                 os.environ["MVG_SAMPLER_IMPL"] = impl
-                os.environ["MVG_ONEHOT_DEBUG"] = (
-                    "1" if impl else "0")
+                # NOTE: MVG_ONEHOT_DEBUG uses jax.debug.print, which the
+                # axon TPU relay rejects (no host callbacks) — branch
+                # verification for these exact inputs runs on CPU via
+                # probe_onehot_branch.py instead
                 label = impl or "xla"
                 name = f"dense-L1 P={P} {tag} impl={label}"
                 results[(tag, label)] = chained_time(
