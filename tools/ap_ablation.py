@@ -208,10 +208,10 @@ def evaluate(windowed=None):
               f"{r['mpjpe']:.2f} | {r['recall500']:.4f} |")
 
 
-def spread(steps=(159, 179, 199), ckpt_root=None, tag=""):
+def spread(steps=(59, 79, 99), ckpt_root=None, tag=""):
     """Multi-checkpoint noise-band measurement (VERDICT r4 item 3).
 
-    The committed table is one checkpoint (epoch 199) of one seed; three
+    The committed table is one checkpoint (epoch 99) of one seed; three
     shipping defaults were flipped on margins quoted against an INFERRED
     ±4 mm band. This evaluates the contested configs — k128 (baseline
     anchor), k64 (the −11.5 mm flip), k64_ptop4 (the headline) — at the
@@ -234,11 +234,12 @@ def spread(steps=(159, 179, 199), ckpt_root=None, tag=""):
                               "DECODER.inference_topk_queries=64",
                               "DECODER.inference_point_topm=4"]),
     ]
+    tag = tag.rstrip("_") or "seed0"
     for step in steps:
         for name, ov in configs:
-            eval_config(f"{tag}{name}", ov, ckpt, step=step,
+            eval_config(f"{tag}_{name}", ov, ckpt, step=step,
                         extra_fields={"epoch": int(step),
-                                      "seed_tag": tag or "seed0"})
+                                      "seed_tag": tag})
 
 
 if __name__ == "__main__":
@@ -258,8 +259,13 @@ if __name__ == "__main__":
         if rest and os.path.isdir(rest[0]):
             kw["ckpt_root"] = rest[0]
             rest = rest[1:]
-        if rest:
-            kw["steps"] = tuple(int(s) for s in rest)
+        # tag=seed1_ labels the rows (seed_tag field); bare ints are steps
+        for a in rest:
+            if a.startswith("tag="):
+                kw["tag"] = a.split("=", 1)[1]
+        steps = tuple(int(s) for s in rest if "=" not in s)
+        if steps:
+            kw["steps"] = steps
         spread(**kw)
     if mode == "train_solver":
         rest = [a for a in sys.argv[2:] if not a.startswith("-")]

@@ -46,6 +46,11 @@ def main():
                     help="continue from the latest checkpoint in "
                          "--out/checkpoints (hard-killed runs leave no "
                          "final save; this picks up the cadence one)")
+    ap.add_argument("--init_seed", type=int, default=0,
+                    help="PRNG seed for parameter init (default 0, the "
+                         "seed behind the committed AP table; pass a "
+                         "different value for re-seeded noise-band runs "
+                         "— TRAIN.SEED only drives shuffle/step rng)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -75,7 +80,7 @@ def main():
     model = build_model(cfg)
     t0 = time.time()
     state, tx = create_train_state(cfg, model, frames[0],
-                                   jax.random.PRNGKey(0),
+                                   jax.random.PRNGKey(args.init_seed),
                                    steps_per_epoch=n)
     # donate=False: the donated variant of this program OOM-kills the
     # remote compile helper on this toolchain (SIGKILL in
