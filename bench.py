@@ -42,7 +42,11 @@ def main():
     # ablation (perf/ap_ablation_results.jsonl, PERF.md "Synthetic
     # AP/MPJPE ablation": jacobi_k64 212.2 mm / recall 0.908 vs k128
     # 223.7 mm / 0.850 — within or better than the noise band), and
-    # measured 8.89 fps vs 7.97 at K=128 (2026-08-19).
+    # measured 8.89 fps vs 7.97 at K=128 (2026-08-19). NOTE: this and
+    # the ptop4 approval below are PROXY-GRADE evidence (synthetic
+    # 48-frame eval at ~210-260 mm absolute MPJPE — blind to <=25 mm
+    # degradations); re-judge both with tools/verify_checkpoint.py when
+    # real Panoptic data + a released checkpoint are available.
     cfg.DECODER.inference_topk_queries = 64
     # point-top-m=4: keep the top-4 of P=8 attention points per (query,
     # head, level), renormalized — halves the gather rows in every layer.
